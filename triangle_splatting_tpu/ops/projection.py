@@ -1,0 +1,213 @@
+"""Per-triangle screen-space preprocess (differentiable, pure jax.numpy).
+
+This is the TPU-native replacement for the CUDA preprocess kernels
+(``diff-triangle-rasterization-2D/src/forward.cu:61-193`` and the matching
+backward ``src/backward.cu:144-263``). Unlike the reference we do NOT write a
+hand-derived backward: the preprocess is embarrassingly parallel elementwise
+math, so it is expressed in jax.numpy and differentiated with JAX AD; XLA
+fuses it into a handful of elementwise kernels. Hand-written Pallas is
+reserved for the tile blend stage where it actually pays off.
+
+2D variant semantics reproduced exactly:
+- linearized projection of centroid-relative vectors (``projectVecApprox``,
+  src/auxiliary.h:97-118) with view-space clipping at 1.3*tan(fov),
+- 0.5 px low-pass dilation of the projected radii (src/forward.cu:127-131),
+- near culling on projected z, degenerate culling on view-space normal and
+  projected radii, optional backface culling on signed screen area,
+- 3x dilated bounding rectangle -> touched 16x16 tiles + pixel radius
+  (src/forward.cu:151-192).
+
+``center2d_offset`` is a zeros (P, 2) input added to the projected centroid;
+its cotangent equals the sum of the three screen-vertex gradients — the
+densification statistic the reference extracts via the ``center2D`` dummy
+tensor (renderer/triangle_renderer.py:66-67, src/backward.cu:261-262).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+EPS = 1e-8
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class RasterSettings:
+    """Static rasterization configuration (hashable; jit-static)."""
+    image_width: int = field(metadata=dict(static=True), default=800)
+    image_height: int = field(metadata=dict(static=True), default=800)
+    tile: int = field(metadata=dict(static=True), default=16)
+    back_culling: bool = field(metadata=dict(static=True), default=False)
+    rich_info: bool = field(metadata=dict(static=True), default=False)
+    max_sh_degree: int = field(metadata=dict(static=True), default=3)
+    rasterizer_type: str = field(metadata=dict(static=True), default="2D")
+    # Pair budget for tile binning, as a multiple of the triangle count.
+    pairs_per_triangle: int = field(metadata=dict(static=True), default=8)
+
+    @property
+    def grid_w(self) -> int:
+        return (self.image_width + self.tile - 1) // self.tile
+
+    @property
+    def grid_h(self) -> int:
+        return (self.image_height + self.tile - 1) // self.tile
+
+    @property
+    def num_tiles(self) -> int:
+        return self.grid_w * self.grid_h
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class Preprocessed:
+    """Per-triangle screen-space quantities feeding binning + blend."""
+    v1_2d: jax.Array        # (P, 2) screen-space vertices (pixels)
+    v2_2d: jax.Array
+    v3_2d: jax.Array
+    area2: jax.Array        # (P,) signed 2x area in pixel^2
+    depth: jax.Array        # (P,) view-space z of the centroid (sort key)
+    rgb: jax.Array          # (P, 3) SH-evaluated color
+    valid: jax.Array        # (P,) bool — survives culling
+    rect_min: jax.Array     # (P, 2) int32 tile coords (x, y), inclusive
+    rect_max: jax.Array     # (P, 2) int32 tile coords, exclusive
+    tiles_touched: jax.Array  # (P,) int32
+    radii: jax.Array        # (P,) int32 pixel radius (0 if culled)
+    normal_view: jax.Array  # (P, 3) unit view-space normal (rich_info)
+    v_depth: jax.Array      # (P, 3) per-vertex view depth (rich_info)
+
+
+def ndc2pix(v: jnp.ndarray, size) -> jnp.ndarray:
+    """NDC [-1,1] -> pixel center coordinates (src/auxiliary.h:35-38)."""
+    return ((v + 1.0) * size - 1.0) * 0.5
+
+
+def _cross2(a, b):
+    return a[..., 0] * b[..., 1] - a[..., 1] * b[..., 0]
+
+
+def project_vec_approx(p_view, vec_view, tan_fovx, tan_fovy):
+    """Linearized perspective projection of a view-space vector at p_view.
+
+    Mirrors ``projectVecApprox`` (src/auxiliary.h:97-118):
+    d(x_proj) = (dx - dz*x/z) / (z * tan_fovx), same for y.
+    """
+    z = p_view[..., 2]
+    x = vec_view[..., 0] - vec_view[..., 2] * p_view[..., 0] / z
+    y = vec_view[..., 1] - vec_view[..., 2] * p_view[..., 1] / z
+    return jnp.stack([x / (z * tan_fovx), y / (z * tan_fovy)], axis=-1)
+
+
+def preprocess_2d(vertex: jnp.ndarray, center2d_offset: jnp.ndarray,
+                  rgb: jnp.ndarray, world_view: jnp.ndarray,
+                  full_proj: jnp.ndarray, tan_fovx, tan_fovy,
+                  settings: RasterSettings) -> Preprocessed:
+    """Project triangles to screen space (2D linearized variant).
+
+    Args:
+        vertex: (P, 3, 3) world-space triangle vertices.
+        center2d_offset: (P, 2) zeros; receives screen-space centroid grads.
+        rgb: (P, 3) per-triangle color (SH already evaluated).
+        world_view: (4, 4) world->view; full_proj: (4, 4) world->clip.
+    """
+    W, H, T = settings.image_width, settings.image_height, settings.tile
+    grid_w, grid_h = settings.grid_w, settings.grid_h
+
+    center = vertex.mean(axis=1)                                    # (P, 3)
+
+    # These tiny 4x4 transforms must stay exact f32 — TPU matmuls default to
+    # bf16 inputs, which costs ~3 decimal digits on projected coordinates,
+    # so spell them out as broadcasts on the VPU.
+    def _apply(M, pts):
+        """(R, 4) affine matrix applied to (P, 3) points -> (P, R)."""
+        out = M[:, 0] * pts[:, 0:1] + M[:, 1] * pts[:, 1:2] + M[:, 2] * pts[:, 2:3]
+        return out + M[:, 3]
+
+    # Projected centroid (homogeneous, |w|+EPS guard, src/auxiliary.h:89-95).
+    c_hom = _apply(full_proj, center)                               # (P, 4)
+    cw = c_hom[:, 3]
+    w_inv = 1.0 / (jnp.abs(cw) + EPS)
+    center_proj = c_hom[:, :3] * w_inv[:, None]                     # (P, 3)
+    valid = center_proj[:, 2] > 0                                   # near culling
+
+    Rv = world_view[:3, :3]
+    center_view = _apply(world_view[:3], center)                    # (P, 3)
+    zv = center_view[:, 2]
+    zv_safe = jnp.where(jnp.abs(zv) < EPS, 1.0, zv)
+    limx = 1.3 * tan_fovx * zv_safe
+    limy = 1.3 * tan_fovy * zv_safe
+    cvc = jnp.stack([
+        jnp.clip(center_view[:, 0], -limx, limx),
+        jnp.clip(center_view[:, 1], -limy, limy),
+        zv_safe,
+    ], axis=-1)
+
+    r = vertex - center[:, None, :]                                 # (P, 3, 3)
+    # Rotation-only transform, same full-precision broadcast treatment.
+    r_view = (Rv[:, 0] * r[..., 0:1] + Rv[:, 1] * r[..., 1:2]
+              + Rv[:, 2] * r[..., 2:3])                             # (P, 3, 3)
+    n_view_raw = jnp.cross(r_view[:, 0], r_view[:, 1])              # (P, 3)
+    n_view_norm = jnp.linalg.norm(n_view_raw, axis=-1)
+    valid = valid & (n_view_norm >= EPS)
+
+    r_proj = project_vec_approx(cvc[:, None, :], r_view, tan_fovx, tan_fovy)  # (P, 3, 2)
+    n_proj = jnp.linalg.norm(r_proj, axis=-1)                       # (P, 3)
+    valid = valid & jnp.all(n_proj >= EPS, axis=-1)
+    n_proj_safe = jnp.where(n_proj < EPS, 1.0, n_proj)
+
+    # 0.5 px low-pass dilation: radii scaled by (0.5*size + 0.5/|r_proj|).
+    kernel_size = 0.5
+    scale = jnp.stack([
+        0.5 * W + kernel_size / n_proj_safe,
+        0.5 * H + kernel_size / n_proj_safe,
+    ], axis=-1)                                                     # (P, 3, 2)
+    r_2d = r_proj * scale                                           # (P, 3, 2)
+
+    center_2d = jnp.stack([
+        ndc2pix(center_proj[:, 0], W),
+        ndc2pix(center_proj[:, 1], H),
+    ], axis=-1) + center2d_offset                                   # (P, 2)
+
+    v_2d = center_2d[:, None, :] + r_2d                             # (P, 3, 2)
+    area2 = _cross2(v_2d[:, 1] - v_2d[:, 0], v_2d[:, 2] - v_2d[:, 0])
+    if settings.back_culling:
+        valid = valid & (area2 < -EPS)
+    else:
+        valid = valid & (jnp.abs(area2) >= EPS)
+
+    dilation = 3.0
+    v_dil = center_2d[:, None, :] + dilation * r_2d                 # (P, 3, 2)
+    v_min = v_dil.min(axis=1)
+    v_max = v_dil.max(axis=1)
+
+    rect_min = jnp.stack([
+        jnp.clip(jnp.floor(v_min[:, 0] / T).astype(jnp.int32), 0, grid_w),
+        jnp.clip(jnp.floor(v_min[:, 1] / T).astype(jnp.int32), 0, grid_h),
+    ], axis=-1)
+    rect_max = jnp.stack([
+        jnp.clip(jnp.floor((v_max[:, 0] + T - 1) / T).astype(jnp.int32), 0, grid_w),
+        jnp.clip(jnp.floor((v_max[:, 1] + T - 1) / T).astype(jnp.int32), 0, grid_h),
+    ], axis=-1)
+    valid = valid & (rect_max[:, 0] > rect_min[:, 0]) & (rect_max[:, 1] > rect_min[:, 1])
+
+    tiles_touched = jnp.where(
+        valid, (rect_max[:, 0] - rect_min[:, 0]) * (rect_max[:, 1] - rect_min[:, 1]), 0
+    ).astype(jnp.int32)
+    radii = jnp.where(valid, jnp.maximum(
+        jnp.ceil((v_max[:, 0] - v_min[:, 0]) * 0.5),
+        jnp.ceil((v_max[:, 1] - v_min[:, 1]) * 0.5),
+    ).astype(jnp.int32), 0)
+
+    normal_view = n_view_raw / jnp.where(n_view_norm < EPS, 1.0, n_view_norm)[:, None]
+    v_depth = r_view[:, :, 2] + zv[:, None]                         # (P, 3)
+
+    return Preprocessed(
+        v1_2d=v_2d[:, 0], v2_2d=v_2d[:, 1], v3_2d=v_2d[:, 2],
+        area2=area2, depth=zv, rgb=rgb, valid=valid,
+        rect_min=rect_min, rect_max=rect_max,
+        tiles_touched=tiles_touched, radii=radii,
+        normal_view=normal_view, v_depth=v_depth,
+    )
