@@ -14,7 +14,7 @@ from triangle_splatting_tpu.ops.oracle import blend_oracle
 from triangle_splatting_tpu.utils.testing import make_camera, make_random_scene
 
 
-SETTINGS = RasterSettings(image_width=64, image_height=64, tile=16)
+SETTINGS = RasterSettings(image_width=64, image_height=64)
 
 
 def run_prep(vertex, rgb, cam, settings=SETTINGS):
@@ -72,15 +72,16 @@ class TestPreprocess:
         scene = make_random_scene(32, seed=1)
         prep = run_prep(scene["vertex"], scene["rgb"], cam)
         v = np.stack([prep.v1_2d, prep.v2_2d, prep.v3_2d], 1)  # (P,3,2)
+        tw, th = SETTINGS.tile_w, SETTINGS.tile_h
         for i in range(32):
             if not bool(prep.valid[i]):
                 continue
-            lo = np.asarray(prep.rect_min[i]) * 16
-            hi = np.asarray(prep.rect_max[i]) * 16
+            lo = np.asarray(prep.rect_min[i]) * [tw, th]
+            hi = np.asarray(prep.rect_max[i]) * [tw, th]
             vmin = np.clip(v[i].min(0), 0, 64)
             vmax = np.clip(v[i].max(0), 0, 64)
             assert (lo <= vmin + 1e-3).all(), i
-            assert (hi >= np.minimum(vmax, 64) - 16).all(), i
+            assert (hi >= np.minimum(vmax, 64) - np.array([tw, th])).all(), i
 
     def test_depth_is_view_z(self):
         cam = make_camera()

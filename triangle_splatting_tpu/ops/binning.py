@@ -32,11 +32,19 @@ from .projection import Preprocessed, RasterSettings
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class Binning:
-    """Sorted pair lists + per-tile ranges (all shapes static)."""
-    pair_tri: jax.Array       # (max_pairs,) int32 — triangle id per sorted pair
-    pair_valid: jax.Array     # (max_pairs,) bool
-    tile_starts: jax.Array    # (num_tiles + 1,) int32 — range of tile t is
-    #                           [tile_starts[t], tile_starts[t+1])
+    """Sorted pair lists + per-tile ranges (all shapes static).
+
+    The per-tile ranges are ``align``-aligned: tile t owns slots
+    [tile_starts[t], tile_starts[t] + tile_counts[t]) and the next tile
+    starts at the next multiple of ``align``. Alignment lets the blend
+    kernel DMA lane-aligned (16, align) slabs out of the field-major pair
+    buffer (Mosaic requires 128-lane-aligned slices). Padding slots have
+    ``pair_valid == False``.
+    """
+    pair_tri: jax.Array       # (ma,) int32 — triangle id per sorted pair slot
+    pair_valid: jax.Array     # (ma,) bool
+    tile_starts: jax.Array    # (num_tiles + 1,) int32, align-multiples
+    tile_counts: jax.Array    # (num_tiles,) int32 — real pairs per tile
     num_pairs: jax.Array      # () int32 — pairs actually binned (<= max_pairs)
     overflow: jax.Array       # () bool — pair budget exceeded (pairs dropped)
 
@@ -45,8 +53,13 @@ def cummax(x: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.associative_scan(jnp.maximum, x)
 
 
+def aligned_capacity(max_pairs: int, num_tiles: int, align: int) -> int:
+    """Size of the aligned pair buffer for a given raw-pair budget."""
+    return max_pairs + align * num_tiles
+
+
 def bin_triangles(prep: Preprocessed, settings: RasterSettings,
-                  max_pairs: int) -> Binning:
+                  max_pairs: int, align: int = 128) -> Binning:
     """Expand triangles into depth-sorted per-tile pair lists."""
     P = prep.depth.shape[0]
     grid_w = settings.grid_w
@@ -88,8 +101,21 @@ def bin_triangles(prep: Preprocessed, settings: RasterSettings,
 
     # Per-tile ranges via binary search on the sorted tile ids.
     boundaries = jnp.arange(num_tiles + 1, dtype=jnp.int32)
-    tile_starts = jnp.searchsorted(sorted_tile, boundaries, side="left").astype(jnp.int32)
+    raw_starts = jnp.searchsorted(sorted_tile, boundaries, side="left").astype(jnp.int32)
+    tile_counts = raw_starts[1:] - raw_starts[:-1]               # (num_tiles,)
 
-    return Binning(pair_tri=sorted_tri, pair_valid=sorted_valid,
-                   tile_starts=tile_starts,
+    # Re-lay pairs so every tile's range starts on an ``align`` boundary.
+    ma = aligned_capacity(max_pairs, num_tiles, align)
+    padded = ((tile_counts + align - 1) // align) * align
+    astarts = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                               jnp.cumsum(padded).astype(jnp.int32)])
+    t_clip = jnp.clip(sorted_tile, 0, num_tiles - 1)
+    shift = astarts[t_clip] - raw_starts[t_clip]
+    new_pos = jnp.where(sorted_valid,
+                        jnp.arange(max_pairs, dtype=jnp.int32) + shift, ma)
+    pair_tri = jnp.zeros((ma,), jnp.int32).at[new_pos].set(sorted_tri, mode="drop")
+    pair_valid = jnp.zeros((ma,), bool).at[new_pos].set(sorted_valid, mode="drop")
+
+    return Binning(pair_tri=pair_tri, pair_valid=pair_valid,
+                   tile_starts=astarts, tile_counts=tile_counts,
                    num_pairs=num_pairs.astype(jnp.int32), overflow=overflow)

@@ -49,7 +49,8 @@ def blend_oracle(prep: Preprocessed, opacity: jnp.ndarray, gamma,
                  background: jnp.ndarray, background_depth,
                  settings: RasterSettings) -> OracleOutputs:
     """Composite all triangles over the full image, front to back."""
-    W, H, tile = settings.image_width, settings.image_height, settings.tile
+    W, H = settings.image_width, settings.image_height
+    tile_w, tile_h = settings.tile_w, settings.tile_h
     P = opacity.shape[0]
 
     # Depth sort (stable — ties keep triangle-index order, matching the
@@ -59,8 +60,8 @@ def blend_oracle(prep: Preprocessed, opacity: jnp.ndarray, gamma,
 
     px = jnp.arange(W, dtype=jnp.float32)[None, :].repeat(H, axis=0)   # (H, W)
     py = jnp.arange(H, dtype=jnp.float32)[:, None].repeat(W, axis=1)
-    tx = (jnp.arange(W, dtype=jnp.int32) // tile)[None, :].repeat(H, axis=0)
-    ty = (jnp.arange(H, dtype=jnp.int32) // tile)[:, None].repeat(W, axis=1)
+    tx = (jnp.arange(W, dtype=jnp.int32) // tile_w)[None, :].repeat(H, axis=0)
+    ty = (jnp.arange(H, dtype=jnp.int32) // tile_h)[:, None].repeat(W, axis=1)
 
     gamma = jnp.asarray(gamma, jnp.float32)
 

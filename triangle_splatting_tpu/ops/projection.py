@@ -37,10 +37,18 @@ EPS = 1e-8
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class RasterSettings:
-    """Static rasterization configuration (hashable; jit-static)."""
+    """Static rasterization configuration (hashable; jit-static).
+
+    Tiles are 8x128 pixels by default — one native TPU VPU register tile —
+    instead of the reference's 16x16 CUDA blocks (src/config.h:5-6). The
+    binning/membership semantics are identical, only the tile geometry
+    changes (which pixels see the faint ecc>3 falloff ring outside a
+    triangle's dilated bbox — sub-1/255-alpha differences).
+    """
     image_width: int = field(metadata=dict(static=True), default=800)
     image_height: int = field(metadata=dict(static=True), default=800)
-    tile: int = field(metadata=dict(static=True), default=16)
+    tile_h: int = field(metadata=dict(static=True), default=8)
+    tile_w: int = field(metadata=dict(static=True), default=128)
     back_culling: bool = field(metadata=dict(static=True), default=False)
     rich_info: bool = field(metadata=dict(static=True), default=False)
     max_sh_degree: int = field(metadata=dict(static=True), default=3)
@@ -50,11 +58,11 @@ class RasterSettings:
 
     @property
     def grid_w(self) -> int:
-        return (self.image_width + self.tile - 1) // self.tile
+        return (self.image_width + self.tile_w - 1) // self.tile_w
 
     @property
     def grid_h(self) -> int:
-        return (self.image_height + self.tile - 1) // self.tile
+        return (self.image_height + self.tile_h - 1) // self.tile_h
 
     @property
     def num_tiles(self) -> int:
@@ -113,7 +121,8 @@ def preprocess_2d(vertex: jnp.ndarray, center2d_offset: jnp.ndarray,
         rgb: (P, 3) per-triangle color (SH already evaluated).
         world_view: (4, 4) world->view; full_proj: (4, 4) world->clip.
     """
-    W, H, T = settings.image_width, settings.image_height, settings.tile
+    W, H = settings.image_width, settings.image_height
+    TW, TH = settings.tile_w, settings.tile_h
     grid_w, grid_h = settings.grid_w, settings.grid_h
 
     center = vertex.mean(axis=1)                                    # (P, 3)
@@ -184,12 +193,12 @@ def preprocess_2d(vertex: jnp.ndarray, center2d_offset: jnp.ndarray,
     v_max = v_dil.max(axis=1)
 
     rect_min = jnp.stack([
-        jnp.clip(jnp.floor(v_min[:, 0] / T).astype(jnp.int32), 0, grid_w),
-        jnp.clip(jnp.floor(v_min[:, 1] / T).astype(jnp.int32), 0, grid_h),
+        jnp.clip(jnp.floor(v_min[:, 0] / TW).astype(jnp.int32), 0, grid_w),
+        jnp.clip(jnp.floor(v_min[:, 1] / TH).astype(jnp.int32), 0, grid_h),
     ], axis=-1)
     rect_max = jnp.stack([
-        jnp.clip(jnp.floor((v_max[:, 0] + T - 1) / T).astype(jnp.int32), 0, grid_w),
-        jnp.clip(jnp.floor((v_max[:, 1] + T - 1) / T).astype(jnp.int32), 0, grid_h),
+        jnp.clip(jnp.floor((v_max[:, 0] + TW - 1) / TW).astype(jnp.int32), 0, grid_w),
+        jnp.clip(jnp.floor((v_max[:, 1] + TH - 1) / TH).astype(jnp.int32), 0, grid_h),
     ], axis=-1)
     valid = valid & (rect_max[:, 0] > rect_min[:, 0]) & (rect_max[:, 1] > rect_min[:, 1])
 

@@ -1,0 +1,187 @@
+"""Differentiable triangle-splat rasterization — the public op.
+
+Pipeline (TPU-first redesign of diff-triangle-rasterization-2D):
+
+  1. SH -> per-triangle color               jax.numpy, AD        (sh.py)
+  2. screen-space preprocess                jax.numpy, AD        (projection.py)
+  3. tile binning (sort + ranges)           XLA sort, stop-grad  (binning.py)
+  4. gather + pack per-pair fields          XLA gather, AD
+  5. per-tile blend                         Pallas custom_vjp    (pallas/blend.py)
+  6. per-pair grads -> per-triangle grads   gather's VJP (deterministic
+                                            scatter-add; replaces the CUDA
+                                            float atomics of backward.cu)
+
+Only stage 5 is hand-written; everything else is standard JAX so the chain
+rule through projection/SH (the reference's hand-derived backward.cu:144-263)
+comes from AD. The ``impl="oracle"`` path swaps stages 3-5 for the dense
+oracle — same semantics, O(P*pixels), used for small scenes and testing.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import sh as sh_mod
+from .binning import Binning, aligned_capacity, bin_triangles
+from .oracle import blend_oracle
+from .pallas.blend import (NUM_FIELDS, SLAB, blend_backward, blend_forward)
+from .projection import Preprocessed, RasterSettings, preprocess_2d
+from ..utils.camera import Camera
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def pack_pair_fields(prep: Preprocessed, opacity: jnp.ndarray,
+                     binning: Binning) -> jnp.ndarray:
+    """Gather per-triangle data into field-major (16, MA) pair rows
+    (differentiable).
+
+    The barycentrics are affine in pixel coordinates:
+    ``a1 = cross(v2 - pix, v3 - pix) / area2 = f0 + f1*px + f2*py`` — the
+    constant/linear coefficients are precomputed here once per pair, so the
+    kernel inner loop is two FMAs per (pair, pixel).
+    """
+    t = binning.pair_tri
+    pv = binning.pair_valid
+    v1, v2, v3 = prep.v1_2d[t], prep.v2_2d[t], prep.v3_2d[t]
+    area2 = jnp.where(pv, prep.area2[t], 1.0)
+    inv = 1.0 / area2
+    f0 = (v2[:, 0] * v3[:, 1] - v2[:, 1] * v3[:, 0]) * inv
+    f1 = (v2[:, 1] - v3[:, 1]) * inv
+    f2 = (v3[:, 0] - v2[:, 0]) * inv
+    f3 = (v3[:, 0] * v1[:, 1] - v3[:, 1] * v1[:, 0]) * inv
+    f4 = (v3[:, 1] - v1[:, 1]) * inv
+    f5 = (v1[:, 0] - v3[:, 0]) * inv
+    opac = opacity[t]
+    rgb = prep.rgb[t]
+    vd = prep.v_depth[t]
+    nrm = prep.normal_view[t]
+    fields = jnp.stack([
+        f0, f1, f2, f3, f4, f5, opac,
+        rgb[:, 0], rgb[:, 1], rgb[:, 2],
+        vd[:, 2], vd[:, 0] - vd[:, 2], vd[:, 1] - vd[:, 2],
+        nrm[:, 0], nrm[:, 1], nrm[:, 2],
+    ], axis=0)                                               # (16, MA)
+    return jnp.where(pv[None, :], fields, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp around the Pallas blend
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _blend(fields, tile_starts, tile_counts, params, static_cfg):
+    width, height, tile_h, tile_w, interpret = static_cfg
+    return blend_forward(fields, tile_starts, tile_counts, params,
+                         image_width=width, image_height=height,
+                         tile_h=tile_h, tile_w=tile_w, interpret=interpret)
+
+
+def _blend_fwd(fields, tile_starts, tile_counts, params, static_cfg):
+    outs = _blend(fields, tile_starts, tile_counts, params, static_cfg)
+    color, depth, normal, final_T, n_contrib, pair_contrib = outs
+    return outs, (fields, tile_starts, tile_counts, params, final_T, n_contrib)
+
+
+def _blend_bwd(static_cfg, res, cts):
+    width, height, tile_h, tile_w, interpret = static_cfg
+    fields, tile_starts, tile_counts, params, final_T, n_contrib = res
+    g_color, g_depth, g_normal, _g_T, _g_nc, _g_pc = cts
+    pair_grads = blend_backward(
+        fields, tile_starts, tile_counts, params, final_T, n_contrib,
+        g_color, g_depth, g_normal,
+        image_width=width, image_height=height, tile_h=tile_h, tile_w=tile_w,
+        interpret=interpret)
+    zero_starts = np.zeros(tile_starts.shape, jax.dtypes.float0)
+    zero_counts = np.zeros(tile_counts.shape, jax.dtypes.float0)
+    return pair_grads, zero_starts, zero_counts, jnp.zeros_like(params)
+
+
+_blend.defvjp(_blend_fwd, _blend_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Public entry
+# ---------------------------------------------------------------------------
+
+def rasterize(vertex: jnp.ndarray, opacity: jnp.ndarray,
+              shs: Optional[jnp.ndarray], camera: Camera,
+              settings: RasterSettings, *, gamma=1.0,
+              background=None, bg_depth=5000.0, active_sh_degree=0,
+              center2d_offset: Optional[jnp.ndarray] = None,
+              colors: Optional[jnp.ndarray] = None,
+              impl: str = "pallas", max_pairs: Optional[int] = None,
+              interpret: bool = False) -> dict:
+    """Render triangles through a camera; differentiable w.r.t.
+    vertex / opacity / shs (or colors) / center2d_offset.
+
+    Mirrors ``TriangleRenderer.render`` (renderer/triangle_renderer.py:59-95)
+    plus the rasterizer internals. Returns a dict with:
+    render (3,H,W), depth (H,W), normal (3,H,W), radii (P,), visible_mask,
+    contrib_sum (P,), contrib_max (P,), final_T, n_contrib, overflow.
+    """
+    P = vertex.shape[0]
+    if background is None:
+        background = jnp.zeros(3, jnp.float32)
+    background = jnp.asarray(background, jnp.float32)
+    gamma = jnp.asarray(gamma, jnp.float32)
+    bg_depth = jnp.asarray(bg_depth, jnp.float32)
+    if center2d_offset is None:
+        center2d_offset = jnp.zeros((P, 2), jnp.float32)
+
+    if colors is not None:
+        rgb = colors
+    else:
+        center = vertex.mean(axis=1)
+        rgb = sh_mod.eval_sh(shs, center, camera.camera_center,
+                             active_sh_degree, settings.max_sh_degree)
+
+    prep = preprocess_2d(vertex, center2d_offset, rgb, camera.world_view,
+                         camera.full_proj, camera.tan_fovx, camera.tan_fovy,
+                         settings)
+
+    if impl == "oracle":
+        out = blend_oracle(prep, opacity[..., 0] if opacity.ndim == 2 else opacity,
+                           gamma, background, bg_depth, settings)
+        return dict(render=out.color, depth=out.depth, normal=out.normal,
+                    radii=prep.radii, visible_mask=prep.radii > 0,
+                    contrib_sum=out.contrib_sum, contrib_max=out.contrib_max,
+                    final_T=out.final_T, n_contrib=out.n_contrib,
+                    overflow=jnp.asarray(False), num_pairs=jnp.int32(0))
+
+    if max_pairs is None:
+        max_pairs = _round_up(settings.pairs_per_triangle * P, SLAB)
+
+    prep_ng = jax.tree_util.tree_map(jax.lax.stop_gradient, prep)
+    binning = bin_triangles(prep_ng, settings, max_pairs, align=SLAB)
+
+    opac1 = opacity[..., 0] if opacity.ndim == 2 else opacity
+    fields = pack_pair_fields(prep, opac1, binning)
+    params = jnp.concatenate([gamma[None], background,
+                              bg_depth[None], jnp.zeros(3, jnp.float32)])
+
+    static_cfg = (settings.image_width, settings.image_height,
+                  settings.tile_h, settings.tile_w, interpret)
+    color, depth, normal, final_T, n_contrib, pair_contrib = _blend(
+        fields, binning.tile_starts, binning.tile_counts, params, static_cfg)
+
+    # Per-triangle contribution statistics (training-statistics consumers are
+    # no-grad: src/forward.cu:320-330 computes these with atomics).
+    pc = jax.lax.stop_gradient(pair_contrib)                 # (2, MA)
+    seg = jnp.where(binning.pair_valid, binning.pair_tri, P)
+    contrib_sum = jax.ops.segment_sum(pc[0], seg, num_segments=P + 1)[:P]
+    contrib_max = jax.ops.segment_max(pc[1], seg, num_segments=P + 1)[:P]
+    contrib_max = jnp.maximum(contrib_max, 0.0)  # empty segments -> -inf
+
+    return dict(render=color, depth=depth, normal=normal,
+                radii=prep.radii, visible_mask=prep.radii > 0,
+                contrib_sum=contrib_sum, contrib_max=contrib_max,
+                final_T=final_T, n_contrib=n_contrib,
+                overflow=binning.overflow, num_pairs=binning.num_pairs)
