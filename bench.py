@@ -1,0 +1,68 @@
+"""Benchmark: rasterize fwd+bwd ms/frame @800x800 (the BASELINE.json metric).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Scene: 100k random triangles sized to realistic screen footprints (the lego
+config trains ~100-300k splats at 800x800). The baseline anchor is the CUDA
+reference on A100; the repo publishes no number (BASELINE.md), so we use
+5.0 ms/frame fwd+bwd as the assumed A100 anchor (typical published timing
+ballpark for tile-based splatting rasterizers at this resolution/count).
+``vs_baseline`` = baseline_ms / our_ms (>= 1.0 means at or beyond parity).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+ASSUMED_BASELINE_MS = 5.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from triangle_splatting_tpu.utils.jax_setup import setup
+    setup()
+    from triangle_splatting_tpu.ops.projection import RasterSettings
+    from triangle_splatting_tpu.ops.rasterize import rasterize
+    from triangle_splatting_tpu.utils.testing import make_camera, make_random_scene
+
+    P = 100_000
+    W = 800
+    settings = RasterSettings(image_width=W, image_height=W)
+    cam = make_camera(W, W)
+    s = make_random_scene(P, seed=0, size_range=(0.01, 0.05))
+    v = jnp.asarray(s["vertex"])
+    o = jnp.asarray(s["opacity"])
+    c = jnp.asarray(s["rgb"])
+    target = jnp.zeros((3, W, W))
+
+    @jax.jit
+    def fwd_bwd(vertex, opacity, rgb):
+        def loss_fn(vertex, opacity, rgb):
+            out = rasterize(vertex, opacity, None, cam, settings, gamma=1.0,
+                            background=jnp.ones(3), bg_depth=10.0, colors=rgb)
+            return jnp.abs(out["render"] - target).mean()
+        return jax.grad(loss_fn, argnums=(0, 1, 2))(vertex, opacity, rgb)
+
+    # warmup/compile
+    g = jax.block_until_ready(fwd_bwd(v, o, c))
+    n = 20
+    t0 = time.time()
+    for _ in range(n):
+        g = fwd_bwd(v, o, c)
+    jax.block_until_ready(g)
+    ms = (time.time() - t0) / n * 1000.0
+
+    print(json.dumps({
+        "metric": "rasterize_fwd_bwd_ms_per_frame_800x800_100k",
+        "value": round(ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(ASSUMED_BASELINE_MS / ms, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,123 @@
+"""Model-layer helpers (reference models/model_utils.py:1-161).
+
+Host-side (numpy/scipy) utilities used at initialization plus jnp helpers
+used inside jitted code. The reference's ``simple-knn`` CUDA extension
+(``distCUDA2``) is replaced by a scipy cKDTree query at init time — it runs
+once per training job, so a host KD-tree beats a device kernel round-trip.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def inverse_sigmoid(x):
+    return jnp.log(x / (1.0 - x))
+
+
+def inverse_sigmoid_np(x):
+    return np.log(x / (1.0 - x))
+
+
+def inter_point_distance_np(points: np.ndarray, k: int = 3) -> np.ndarray:
+    """sqrt(mean squared distance to the k nearest neighbors).
+
+    Replaces ``simple_knn._C.distCUDA2`` (models/model_utils.py:34-36):
+    the reference clamps the mean-square at 1e-7 before the sqrt.
+    """
+    from scipy.spatial import cKDTree
+    tree = cKDTree(points)
+    dist, _ = tree.query(points, k=k + 1)     # includes self at distance 0
+    mean_sq = (dist[:, 1:] ** 2).mean(axis=1)
+    return np.sqrt(np.maximum(mean_sq, 1e-7)).astype(np.float32)
+
+
+def nearest_neighbor_np(points: np.ndarray, batch_size: int = 1) -> np.ndarray:
+    """Index of each point's nearest neighbor outside its own batch group.
+
+    Replaces ``simple_knn._C.nearestNeighbor`` (trainer_utils.py:339-340):
+    points are grouped in consecutive blocks of ``batch_size`` (the three
+    vertices of one triangle) and a vertex's neighbors within its own
+    triangle are excluded.
+    """
+    from scipy.spatial import cKDTree
+    n = points.shape[0]
+    tree = cKDTree(points)
+    k = min(batch_size + 1, n)
+    _, idx = tree.query(points, k=k + batch_size)
+    group = np.arange(n) // batch_size
+    out = np.zeros(n, dtype=np.int64)
+    for j in range(idx.shape[1]):
+        cand = idx[:, j]
+        ok = (group[cand] != group) & (out == 0) if j > 0 else np.zeros(n, bool)
+        out = np.where(ok, cand, out)
+    # first column pass above misses rows whose first valid candidate is col 0
+    first_ok = group[idx[:, 0]] != group
+    out = np.where(first_ok, idx[:, 0], out)
+    return out
+
+
+def get_inside_mask(points, bbox) -> jnp.ndarray:
+    """bbox = [xmin, ymin, (zmin,) xmax, ymax, (zmax)]; 2D boxes ignore z
+    (reference models/model_utils.py:39-58)."""
+    if bbox is None:
+        return jnp.ones(points.shape[0], bool)
+    bbox = np.asarray(bbox, np.float32).reshape(-1)
+    if bbox.size == 4:
+        lo, hi = bbox[:2], bbox[2:]
+        pts = points[:, :2]
+    else:
+        lo, hi = bbox[:3], bbox[3:]
+        pts = points
+    return jnp.all((pts >= lo) & (pts <= hi), axis=-1)
+
+
+def get_color_tensor(background: str, rng: np.random.Generator | None = None) -> np.ndarray:
+    """'white' | 'black' | 'random' -> (3,) float (utils reference :66-74)."""
+    if background == "white":
+        return np.ones(3, np.float32)
+    if background == "black":
+        return np.zeros(3, np.float32)
+    if background == "random":
+        rng = rng or np.random.default_rng()
+        return rng.uniform(size=3).astype(np.float32)
+    raise ValueError(f"Unknown background: {background}")
+
+
+def grid_sampling(points: np.ndarray, colors: np.ndarray, normals: np.ndarray,
+                  grid_size: float):
+    """Voxel-average downsampling (reference models/model_utils.py:97-121)."""
+    voxel = np.floor(points / grid_size).astype(np.int64)
+    # Unique voxel ids via lexicographic hashing.
+    key = (voxel - voxel.min(axis=0)).astype(np.uint64)
+    dims = key.max(axis=0) + 1
+    flat = (key[:, 0] * dims[1] + key[:, 1]) * dims[2] + key[:, 2]
+    uniq, inverse = np.unique(flat, return_inverse=True)
+    m = uniq.shape[0]
+
+    def scatter_mean(x):
+        out = np.zeros((m, x.shape[1]), np.float64)
+        np.add.at(out, inverse, x)
+        counts = np.bincount(inverse, minlength=m)[:, None]
+        return (out / counts).astype(np.float32)
+
+    return scatter_mean(points), scatter_mean(colors), scatter_mean(normals)
+
+
+def grid_size_search(points: np.ndarray, n_sample: int,
+                     tolerance: float = 0.1, max_iter: int = 30) -> float:
+    """Binary-search the voxel size that yields ~n_sample voxels ±10%
+    (reference models/model_utils.py:123-153)."""
+    lo, hi = 1e-6, float(np.ptp(points, axis=0).max())
+    for _ in range(max_iter):
+        mid = (lo + hi) / 2
+        voxel = np.floor(points / mid).astype(np.int64)
+        count = np.unique(voxel, axis=0).shape[0]
+        if abs(count - n_sample) <= tolerance * n_sample:
+            return mid
+        if count > n_sample:
+            lo = mid
+        else:
+            hi = mid
+    return mid

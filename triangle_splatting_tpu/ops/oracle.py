@@ -69,6 +69,13 @@ def blend_oracle(prep: Preprocessed, opacity: jnp.ndarray, gamma,
         (T, done, n_contrib, accum_c, accum_d, accum_n) = carry
         (v1, v2, v3, area2, color, valid, rmin, rmax, nrm, vd, opac) = tri
 
+        # Invalid triangles can carry NaN/garbage attributes (dead capacity
+        # slots); sanitize so masked contributions stay exactly zero.
+        color = jnp.where(valid, color, 0.0)
+        nrm = jnp.where(valid, nrm, 0.0)
+        vd = jnp.where(valid, vd, 0.0)
+        area2 = jnp.where(valid, area2, 1.0)
+
         member = ((tx >= rmin[0]) & (tx < rmax[0]) &
                   (ty >= rmin[1]) & (ty < rmax[1]) & valid)
         proc = member & ~done                          # counted as contributor

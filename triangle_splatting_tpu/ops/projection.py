@@ -34,6 +34,16 @@ import jax.numpy as jnp
 EPS = 1e-8
 
 
+def safe_norm(x, axis=-1):
+    """Norm whose VJP is finite at x = 0.
+
+    ``jnp.linalg.norm``'s cotangent is x/||x|| — NaN at zero vectors (dead
+    capacity slots are all-zero triangles), and ``0 * NaN`` still poisons
+    gradients. The tiny bias changes live values by < 1e-12.
+    """
+    return jnp.sqrt(jnp.sum(x * x, axis=axis) + 1e-24)
+
+
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class RasterSettings:
@@ -112,7 +122,8 @@ def project_vec_approx(p_view, vec_view, tan_fovx, tan_fovy):
 def preprocess_2d(vertex: jnp.ndarray, center2d_offset: jnp.ndarray,
                   rgb: jnp.ndarray, world_view: jnp.ndarray,
                   full_proj: jnp.ndarray, tan_fovx, tan_fovy,
-                  settings: RasterSettings) -> Preprocessed:
+                  settings: RasterSettings,
+                  alive_mask: Optional[jnp.ndarray] = None) -> Preprocessed:
     """Project triangles to screen space (2D linearized variant).
 
     Args:
@@ -141,6 +152,10 @@ def preprocess_2d(vertex: jnp.ndarray, center2d_offset: jnp.ndarray,
     w_inv = 1.0 / (jnp.abs(cw) + EPS)
     center_proj = c_hom[:, :3] * w_inv[:, None]                     # (P, 3)
     valid = center_proj[:, 2] > 0                                   # near culling
+    if alive_mask is not None:
+        # Dead capacity slots (fixed-capacity model arrays) are culled here
+        # so they produce no tile pairs at all.
+        valid = valid & alive_mask
 
     Rv = world_view[:3, :3]
     center_view = _apply(world_view[:3], center)                    # (P, 3)
@@ -159,11 +174,11 @@ def preprocess_2d(vertex: jnp.ndarray, center2d_offset: jnp.ndarray,
     r_view = (Rv[:, 0] * r[..., 0:1] + Rv[:, 1] * r[..., 1:2]
               + Rv[:, 2] * r[..., 2:3])                             # (P, 3, 3)
     n_view_raw = jnp.cross(r_view[:, 0], r_view[:, 1])              # (P, 3)
-    n_view_norm = jnp.linalg.norm(n_view_raw, axis=-1)
+    n_view_norm = safe_norm(n_view_raw)
     valid = valid & (n_view_norm >= EPS)
 
     r_proj = project_vec_approx(cvc[:, None, :], r_view, tan_fovx, tan_fovy)  # (P, 3, 2)
-    n_proj = jnp.linalg.norm(r_proj, axis=-1)                       # (P, 3)
+    n_proj = safe_norm(r_proj)                                      # (P, 3)
     valid = valid & jnp.all(n_proj >= EPS, axis=-1)
     n_proj_safe = jnp.where(n_proj < EPS, 1.0, n_proj)
 

@@ -117,6 +117,7 @@ def rasterize(vertex: jnp.ndarray, opacity: jnp.ndarray,
               background=None, bg_depth=5000.0, active_sh_degree=0,
               center2d_offset: Optional[jnp.ndarray] = None,
               colors: Optional[jnp.ndarray] = None,
+              alive_mask: Optional[jnp.ndarray] = None,
               impl: str = "pallas", max_pairs: Optional[int] = None,
               interpret: bool = False) -> dict:
     """Render triangles through a camera; differentiable w.r.t.
@@ -145,7 +146,7 @@ def rasterize(vertex: jnp.ndarray, opacity: jnp.ndarray,
 
     prep = preprocess_2d(vertex, center2d_offset, rgb, camera.world_view,
                          camera.full_proj, camera.tan_fovx, camera.tan_fovy,
-                         settings)
+                         settings, alive_mask=alive_mask)
 
     if impl == "oracle":
         out = blend_oracle(prep, opacity[..., 0] if opacity.ndim == 2 else opacity,
@@ -158,6 +159,11 @@ def rasterize(vertex: jnp.ndarray, opacity: jnp.ndarray,
 
     if max_pairs is None:
         max_pairs = _round_up(settings.pairs_per_triangle * P, SLAB)
+
+    # Pallas TPU kernels only run interpreted on the CPU backend (tests,
+    # virtual multi-chip meshes) — switch automatically.
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True
 
     prep_ng = jax.tree_util.tree_map(jax.lax.stop_gradient, prep)
     binning = bin_triangles(prep_ng, settings, max_pairs, align=SLAB)

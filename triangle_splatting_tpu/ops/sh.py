@@ -101,7 +101,10 @@ def eval_sh(sh: jnp.ndarray, positions: jnp.ndarray, campos: jnp.ndarray,
         (P, 3) colors, clamped at zero after the +0.5 shift.
     """
     d = positions - campos[None, :]
-    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    # Safe normalize: degenerate (zero) directions — e.g. dead capacity
+    # slots parked at the origin — must not produce NaNs.
+    n = jnp.linalg.norm(d, axis=-1, keepdims=True)
+    d = d / jnp.maximum(n, 1e-12)
     basis = sh_basis(d, max_degree)                        # (P, K)
     basis = basis * band_mask(active_degree, max_degree)[None, :]
     rgb = jnp.einsum("pk,pkc->pc", basis, sh) + 0.5

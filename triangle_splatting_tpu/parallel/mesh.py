@@ -1,0 +1,93 @@
+"""Multi-chip data parallelism over a jax.sharding.Mesh.
+
+The reference has no intra-model distribution (SURVEY.md §2.3): multi-GPU
+means independent per-scene processes. The TPU-native replacement shards the
+*camera batch* across chips: triangle parameters are replicated, every chip
+rasterizes its own camera(s), and per-parameter gradients are ``psum``-med
+over ICI before a replicated Adam step — mathematically identical to
+accumulating those cameras' losses on one device (losses are summed, i.e.
+batch-summed gradients; divide by batch size via the loss weight if mean
+semantics are wanted).
+
+Built on ``shard_map`` so the Pallas blend kernel runs per-device on its
+local camera — no cross-chip communication inside the rasterizer; the only
+collective is one gradient ``psum`` per step, riding ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models import triangle as M
+from ..ops.projection import RasterSettings
+from ..utils.camera import Camera
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    return Mesh(np.array(devices[:n]), (axis,))
+
+
+def stack_cameras(cameras: list[Camera]) -> Camera:
+    """Stack a list of same-resolution cameras into one batched pytree."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *cameras)
+
+
+def _index_camera(cameras: Camera, i) -> Camera:
+    return jax.tree_util.tree_map(lambda x: x[i], cameras)
+
+
+def make_dp_train_step(mesh: Mesh, settings: RasterSettings,
+                       model_cfg: M.ModelConfig, loss_fn: Callable,
+                       axis: str = "data", impl: str = "pallas",
+                       interpret: bool = False, donate: bool = True):
+    """Build a jitted data-parallel train step.
+
+    Args:
+        loss_fn: (render_pkg, camera, params, state, weights) -> scalar loss
+            for ONE camera. Per-device losses are summed across the mesh.
+    Returns:
+        step(params, opt, state, cameras, background, lrs, weights)
+            -> (params, opt, state, loss, center2d_grad)
+        where ``cameras`` is a batched Camera pytree with leading dim equal
+        to the mesh size (sharded over ``axis``).
+    """
+    from jax.experimental.shard_map import shard_map
+
+    n_dev = mesh.shape[axis]
+    repl = P()
+    shard = P(axis)
+
+    def per_device(params, opt, state, cameras, background, lrs, weights):
+        camera = _index_camera(cameras, 0)      # local shard has leading dim 1
+
+        def local_loss(p, c2d):
+            pkg = M.forward(p, state, camera, background, model_cfg, settings,
+                            is_training=True, center2d_offset=c2d,
+                            impl=impl, interpret=interpret)
+            return loss_fn(pkg, camera, p, state, weights)
+
+        c2d = jnp.zeros((params.capacity, 2), jnp.float32)
+        (loss, grads) = jax.value_and_grad(local_loss, argnums=(0, 1))(params, c2d)
+        g_params, g_c2d = grads
+        # Sum gradients over the camera batch (ICI collective).
+        g_params = jax.lax.psum(g_params, axis)
+        g_c2d = jax.lax.psum(g_c2d, axis)
+        loss = jax.lax.psum(loss, axis)
+        params, opt = M.adam_update(params, opt, g_params, lrs)
+        return params, opt, state, loss, g_c2d
+
+    smapped = shard_map(
+        per_device, mesh=mesh,
+        in_specs=(repl, repl, repl, shard, repl, repl, repl),
+        out_specs=(repl, repl, repl, repl, repl),
+        check_rep=False)
+
+    return jax.jit(smapped, donate_argnums=(0, 1) if donate else ())

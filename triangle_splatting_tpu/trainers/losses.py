@@ -1,0 +1,166 @@
+"""Loss/metric library in jax.numpy (reference trainers/trainer_utils.py).
+
+Convolution-based SSIM (11x11 Gaussian window, sigma 1.5), DoG
+frequency-masked L1, Scharr smoothness, depth->normal consistency, and
+L1/L2/PSNR. All functions operate on (C, H, W) images and are jit-friendly.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _gaussian_kernel(kernel_size: int, sigma: float, normalize: bool = True) -> np.ndarray:
+    """2D Gaussian kernel (trainer_utils.py:17-29)."""
+    ax = np.arange(kernel_size, dtype=np.float64)
+    xx, yy = np.meshgrid(ax, ax, indexing="xy")
+    mean = (kernel_size - 1) / 2.0
+    k = np.exp(-((xx - mean) ** 2 + (yy - mean) ** 2) / (2 * sigma ** 2))
+    if normalize:
+        k = k / k.sum()
+    return k.astype(np.float32)
+
+
+def depthwise_conv2d(img: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
+    """Same-padding depthwise conv; img (C, H, W), kernel (kh, kw)."""
+    C = img.shape[0]
+    kh, kw = kernel.shape
+    k = jnp.asarray(kernel)[None, None].repeat(C, axis=0)  # (C, 1, kh, kw)
+    out = jax.lax.conv_general_dilated(
+        img[None], k, window_strides=(1, 1),
+        padding=((kh // 2, (kh - 1) // 2), (kw // 2, (kw - 1) // 2)),
+        feature_group_count=C,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    return out[0]
+
+
+def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
+         sigma: float = 1.5) -> jnp.ndarray:
+    """SSIM with Gaussian window (trainer_utils.py:45-77)."""
+    kernel = _gaussian_kernel(window_size, sigma)
+    C1, C2 = 0.01 ** 2, 0.03 ** 2
+    mu1 = depthwise_conv2d(img1, kernel)
+    mu2 = depthwise_conv2d(img2, kernel)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    sigma1_sq = depthwise_conv2d(img1 * img1, kernel) - mu1_sq
+    sigma2_sq = depthwise_conv2d(img2 * img2, kernel) - mu2_sq
+    sigma12 = depthwise_conv2d(img1 * img2, kernel) - mu1_mu2
+    ssim_map = ((2 * mu1_mu2 + C1) * (2 * sigma12 + C2)) / \
+        ((mu1_sq + mu2_sq + C1) * (sigma1_sq + sigma2_sq + C2))
+    return ssim_map.mean()
+
+
+def ssim_loss(img1, img2):
+    return 1.0 - ssim(img1, img2)
+
+
+SCHARR_X = np.array([[-3, 0, 3], [-10, 0, 10], [-3, 0, 3]], np.float32) / 32
+SCHARR_Y = np.array([[-3, -10, -3], [0, 0, 0], [3, 10, 3]], np.float32) / 32
+
+
+def scharr(img: jnp.ndarray, ret_norm: bool = False) -> jnp.ndarray:
+    """Scharr gradients; img (C, H, W) -> (2C, H, W) or norm (1, H, W)."""
+    gx = depthwise_conv2d(img, SCHARR_X)
+    gy = depthwise_conv2d(img, SCHARR_Y)
+    grad = jnp.concatenate([gx, gy], axis=0)
+    if ret_norm:
+        return jnp.linalg.norm(grad, axis=0, keepdims=True)
+    return grad
+
+
+def _resize(img: jnp.ndarray, shape) -> jnp.ndarray:
+    return jax.image.resize(img, img.shape[:-2] + tuple(shape), "linear")
+
+
+def dog_loss(img: jnp.ndarray, img_gt: jnp.ndarray, freq: int = 90,
+             scale_factor: float = 0.5) -> jnp.ndarray:
+    """Difference-of-Gaussians frequency-masked L1 (trainer_utils.py:106-148)."""
+    sigma = 0.1 + (100 - freq) * 0.1 if freq >= 50 else 0.1 + freq * 0.1
+    k1 = _gaussian_kernel(int(2 * round(3 * sigma) + 1), sigma)
+    k2 = _gaussian_kernel(int(2 * round(6 * sigma) + 1), 2 * sigma)
+
+    gray = img_gt.mean(axis=0, keepdims=True)
+    H, W = gray.shape[-2:]
+    down = _resize(gray, (int(H * scale_factor), int(W * scale_factor)))
+    dog = depthwise_conv2d(down, k1) - depthwise_conv2d(down, k2)
+    up = _resize(dog, (H, W))
+    up = jax.lax.stop_gradient(up)
+    normed = (up - up.min()) / (up.max() - up.min() + 1e-12)
+    if freq >= 50:
+        normed = 1.0 - normed
+    mask = (normed >= 0.5).astype(jnp.float32)
+    return jnp.abs(img * mask - img_gt * mask).mean()
+
+
+def smoothness_loss(img: jnp.ndarray, img_gt: jnp.ndarray,
+                    quantile: float = 0.3, scale_factor: float = 0.5) -> jnp.ndarray:
+    """Penalize image gradients where GT is flat (trainer_utils.py:181-201)."""
+    H, W = img_gt.shape[-2:]
+    down = _resize(img_gt, (int(H * scale_factor), int(W * scale_factor)))
+    g = scharr(down, ret_norm=True)
+    up = _resize(g, (H, W))
+    thresh = jnp.quantile(up, quantile)
+    mask = jax.lax.stop_gradient((up < thresh).astype(jnp.float32))
+    return (scharr(img, ret_norm=True) * mask).mean()
+
+
+def depth_to_normal(depth: jnp.ndarray, tan_fovx, tan_fovy,
+                    scale_factor: float | None = None,
+                    grad_quantile: float = 0.9):
+    """Convert a depth map (H, W) to view-space normals + a low-gradient mask
+    (trainer_utils.py:213-247)."""
+    H0, W0 = depth.shape
+    d = depth[None]
+    if scale_factor is not None and scale_factor != 1:
+        d = _resize(d, (int(H0 * scale_factor), int(W0 * scale_factor)))
+    dgrad = scharr(d)                      # (2, h, w)
+    Dx = dgrad[0] / d[0]
+    Dy = dgrad[1] / d[0]
+    H, W = d.shape[-2:]
+    x = jnp.arange(W, dtype=jnp.float32)[None, :]
+    y = jnp.arange(H, dtype=jnp.float32)[:, None]
+    nx = W * Dx / (2 * tan_fovx)
+    ny = H * Dy / (2 * tan_fovy)
+    nz = -(1 + (x - W / 2 + 0.5) * Dx + (y - H / 2 + 0.5) * Dy)
+    normal = jnp.stack([nx, ny, nz], axis=0)
+    if (H, W) != (H0, W0):
+        normal = _resize(normal, (H0, W0))
+    normal = normal / jnp.linalg.norm(normal, axis=0, keepdims=True)
+
+    grad_norm = jnp.linalg.norm(dgrad, axis=0, keepdims=True)
+    if (H, W) != (H0, W0):
+        grad_norm = _resize(grad_norm, (H0, W0))
+    thresh = jnp.quantile(grad_norm, grad_quantile)
+    mask = (grad_norm < thresh).astype(jnp.float32)[0]
+    return normal, jax.lax.stop_gradient(mask)
+
+
+def depth_normal_loss(depth: jnp.ndarray, normal: jnp.ndarray, tan_fovx,
+                      tan_fovy, scale_factor: float | None = None) -> jnp.ndarray:
+    """1 - cos(normal, normal-from-depth), masked at depth discontinuities
+    (trainer_utils.py:249-257)."""
+    d_normal, mask = depth_to_normal(depth, tan_fovx, tan_fovy, scale_factor)
+    n = normal / jnp.maximum(jnp.linalg.norm(normal, axis=0, keepdims=True), 1e-8)
+    return ((1.0 - (n * d_normal).sum(axis=0)) * mask).mean()
+
+
+def l1(a, b):
+    return jnp.abs(a - b).mean()
+
+
+def l2(a, b):
+    return ((a - b) ** 2).mean()
+
+
+def psnr(img1, img2, mask=None):
+    """PSNR, optionally alpha-masked (trainer_utils.py:331-336)."""
+    if mask is None:
+        mse = ((img1 - img2) ** 2).mean() + 1e-10
+    else:
+        mse = (((img1 - img2) ** 2) * mask).sum() / (mask.sum() + 1e-10) + 1e-10
+    return 20.0 * jnp.log10(1.0 / jnp.sqrt(mse))

@@ -1,0 +1,697 @@
+"""VanillaTS trainer: the main train/eval loop
+(reference trainers/VanillaTS_trainer.py:14-293).
+
+Functional-JAX redesign: the entire hot iteration (forward + loss + backward
++ Adam + statistics) is ONE jitted ``train_step`` with donated params/opt
+buffers; schedules and loss weights enter as traced scalars so nothing
+recompiles across iterations. Adaptive density control ops run as separate
+jitted functions on their configured cadences (shapes stay fixed — see
+models/triangle.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import pickle
+from dataclasses import replace
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import triangle as M
+from ..models.model_utils import get_color_tensor
+from ..models.raw_triangle import RawTriangle
+from ..ops.projection import RasterSettings
+from ..utils.camera import Camera
+from ..utils.config import Config
+from ..utils.scheduler import exponential_scheduler, exponential_step_scheduler
+from ..utils.timer import Timer
+from . import losses as L
+from .base import BaseTrainer
+
+
+def _f32(x):
+    return np.float32(x)
+
+
+class VanillaTSTrainer(BaseTrainer):
+    def __init__(self, config: str | Config, exp_name: str | None = None,
+                 log_file: bool = True, impl: str = "pallas",
+                 interpret: bool = False):
+        super().__init__(config, exp_name, log_file)
+        mc = self.config.model
+        self.model_cfg = M.ModelConfig(
+            max_sh_degree=mc.max_sh_degree if mc.max_sh_degree is not None else 0,
+            use_color_affine=bool(mc.use_color_affine),
+            back_culling=bool(mc.back_culling),
+            back_culling_prob=mc.back_culling_prob if mc.back_culling_prob is not None else 1.0,
+            ste_threshold=mc.ste_threshold,
+            gamma_rescale=bool(mc.gamma_rescale),
+            render_up_scale=mc.render_up_scale,
+            rasterizer_type=mc.rasterizer_type or "2D",
+        )
+        self.impl = impl
+        self.interpret = interpret
+        self.scene_bbox = None
+        scene_info = self.dataset.getSceneInfo()
+        if scene_info is not None:
+            self.scene_bbox = scene_info.get("bbox_xyz")
+
+        self.params: M.TriangleParams | None = None
+        self.state: M.TriangleState | None = None
+        self.opt: M.AdamState | None = None
+        self._nearest_cache = None
+        self._setup_schedulers()
+        self._rng = np.random.default_rng(self.seed)
+        self._sh_degree_host = 0
+
+        # Jitted ADC ops (eager per-op dispatch is pathologically slow on the
+        # remote-compile TPU path; these run every few hundred iterations).
+        self._j_densify = jax.jit(M.densify, static_argnums=(4,))
+        self._j_opacity_pruning = jax.jit(M.opacity_pruning)
+        self._j_opacity_clipping = jax.jit(M.opacity_clipping)
+        self._j_scale_pruning = jax.jit(M.scale_pruning)
+        self._j_scale_clipping = jax.jit(M.scale_clipping)
+        self._j_opacity_reset = jax.jit(M.opacity_reset)
+
+    # ------------------------------------------------------------------
+    # setup
+    # ------------------------------------------------------------------
+    def _setup_schedulers(self):
+        oc = self.config.model.optimizer
+        self.lr_schedulers = {}
+        if oc is not None:
+            for name in ("vertex", "opacity", "f_dc", "f_rest"):
+                sub = getattr(oc, name)
+                if sub is not None:
+                    self.lr_schedulers[name] = exponential_scheduler(**vars(sub))
+            if oc.color_affine is not None:
+                self.lr_schedulers["affine"] = exponential_scheduler(**vars(oc.color_affine))
+            if oc.vertex_scale_up_iter is not None and oc.vertex_scale_up is not None:
+                base = self.lr_schedulers["vertex"]
+                it0, mult = oc.vertex_scale_up_iter, oc.vertex_scale_up
+                self.lr_schedulers["vertex"] = (
+                    lambda it, base=base, it0=it0, mult=mult:
+                    base(it) * (1.0 if it <= it0 else mult))
+
+        mu = self.config.model.model_update
+        self._mu = mu
+        if mu is not None:
+            d = mu.densification
+            if d is not None:
+                self.grad_threshold_scheduler = exponential_scheduler(
+                    v_init=d.grad_threshold_init, v_final=d.grad_threshold_final,
+                    max_steps=d.end_iter - d.start_iter)
+            op = mu.opacity_pruning
+            if op is not None:
+                self.opacity_pruning_scheduler = exponential_scheduler(
+                    v_init=op.opacity_threshold_init, v_final=op.opacity_threshold_final,
+                    max_steps=op.end_iter - op.start_iter)
+            oc2 = mu.opacity_clipping
+            if oc2 is not None:
+                self.opacity_clipping_scheduler = exponential_scheduler(
+                    v_init=oc2.opacity_threshold_init, v_final=oc2.opacity_threshold_final,
+                    max_steps=oc2.end_iter - oc2.start_iter)
+            sc = mu.scale_clipping
+            if sc is not None:
+                self.scale_max_scheduler = exponential_scheduler(
+                    v_init=sc.scale_max_init, v_final=sc.scale_max_final,
+                    max_steps=sc.end_iter - sc.start_iter)
+            g = mu.gamma_schedule
+            if g is not None:
+                mk = exponential_step_scheduler if g.step_scheduler else exponential_scheduler
+                kw = dict(v_init=g.gamma_init, v_final=g.gamma_final,
+                          max_steps=g.end_iter - g.start_iter)
+                if g.step_scheduler:
+                    kw["n_stage"] = g.n_stage
+                self.gamma_scheduler = mk(**kw)
+
+    def _lrs(self, iteration: int) -> dict:
+        lrs = {name: _f32(fn(iteration)) for name, fn in self.lr_schedulers.items()}
+        lrs.setdefault("affine", _f32(0.0))
+        return lrs
+
+    def _settings_for(self, camera: Camera) -> RasterSettings:
+        return RasterSettings(
+            image_width=camera.image_width, image_height=camera.image_height,
+            max_sh_degree=self.model_cfg.max_sh_degree,
+            back_culling=self.model_cfg.back_culling,
+            rasterizer_type=self.model_cfg.rasterizer_type,
+            pairs_per_triangle=self.config.model.pairs_per_triangle or 8)
+
+    # ------------------------------------------------------------------
+    # jitted steps
+    # ------------------------------------------------------------------
+    @functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2, 3, 4))
+    def _train_step(self, settings: RasterSettings, params, opt, state,
+                    camera: Camera, background, lrs, weights, iteration,
+                    nearest_idx):
+        """One full training iteration (forward/loss/backward/Adam/stats)."""
+        cfg = self.model_cfg
+        C = params.capacity
+
+        def loss_fn(p, c2d):
+            pkg = M.forward(p, state, camera, background, cfg, settings,
+                            is_training=True, center2d_offset=c2d,
+                            impl=self.impl, interpret=self.interpret)
+            img = pkg["render"]
+            gt = camera.gt_image
+            if camera.alpha_mask is not None:
+                img = img * camera.alpha_mask
+                gt = gt * camera.alpha_mask
+
+            w = weights
+            loss = 0.0
+            loss += w["l1"] * L.l1(img, gt)
+            loss += w["ssim"] * L.ssim_loss(img, gt)
+            if self._w_dog > 0:
+                loss += w["dog"] * L.dog_loss(img, gt, freq=self._dog_freq)
+            if self._w_smooth > 0:
+                loss += w["smooth"] * L.smoothness_loss(img, gt)
+            if self._w_geometry > 0:
+                geo = L.depth_normal_loss(pkg["depth"], pkg["normal"],
+                                          camera.tan_fovx, camera.tan_fovy,
+                                          self._geo_scale_factor)
+                loss += w["geometry"] * geo
+            else:
+                geo = jnp.float32(0.0)
+
+            alive_f = state.alive.astype(jnp.float32)
+            n_alive = jnp.maximum(alive_f.sum(), 1.0)
+            scaling_reg = (pkg["scaling"] * alive_f).sum() / n_alive
+            loss += w["scaling"] * scaling_reg
+
+            op = pkg["opacity"][:, 0]
+            quad = ((0.25 - (op - 0.5) ** 2) * alive_f).sum() / n_alive
+            lin = ((1.0 - op) * alive_f).sum() / n_alive
+            loss += w["opacity_quad"] * quad + w["opacity_linear"] * lin
+
+            if self._w_vertex > 0 and nearest_idx is not None:
+                pts = p.vertex.reshape(-1, 3)
+                d2 = ((pts - pts[nearest_idx]) ** 2).sum(-1)
+                mask3 = jnp.repeat(alive_f, 3)
+                vloss = (d2 * mask3).sum() / jnp.maximum(mask3.sum(), 1.0)
+                loss += w["vertex"] * vloss
+            else:
+                vloss = jnp.float32(0.0)
+
+            if "render_original" in pkg and self._w_affine > 0:
+                orig = pkg["render_original"]
+                if camera.alpha_mask is not None:
+                    orig = orig * camera.alpha_mask
+                loss += w["affine"] * L.l1(img, orig)
+
+            aux = dict(radii=pkg["radii"], contrib_sum=pkg["contrib_sum"],
+                       contrib_max=pkg["contrib_max"],
+                       visible_mask=pkg["visible_mask"],
+                       overflow=pkg["overflow"], geo_loss=geo, vertex_loss=vloss)
+            return loss, aux
+
+        c2d = jnp.zeros((C, 2), jnp.float32)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, argnums=(0, 1),
+                                                has_aux=True)(params, c2d)
+        g_params, g_c2d = grads
+        params, opt = M.adam_update(params, opt, g_params, lrs)
+
+        if self._track_stats:
+            state = M.update_statistics(state, g_c2d, aux["radii"],
+                                        aux["contrib_sum"], aux["contrib_max"],
+                                        aux["visible_mask"] & self._stat_gate(iteration))
+        return params, opt, state, loss, aux
+
+    def _stat_gate(self, iteration):
+        st = self._mu.statistic if self._mu is not None else None
+        if st is None:
+            return jnp.asarray(True)
+        return (iteration > st.start_iter) & (iteration <= st.end_iter)
+
+    @functools.partial(jax.jit, static_argnums=(0, 1, 6))
+    def _eval_step(self, settings, params, state, camera, background, eval_mask: bool):
+        pkg = M.forward(params, state, camera, background, self.model_cfg,
+                        settings, is_training=False, apply_color_affine=False,
+                        impl=self.impl, interpret=self.interpret)
+        img = pkg["render"]
+        gt = camera.gt_image
+        mask = camera.alpha_mask if eval_mask else None
+        psnr = L.psnr(img, gt, mask)
+        ssim_val = L.ssim(jnp.clip(img, 0, 1), gt)
+        return img, psnr, ssim_val
+
+    # ------------------------------------------------------------------
+    # loop
+    # ------------------------------------------------------------------
+    def _init_model(self):
+        cfgt = self.config.trainer
+        first_iter = 0
+        if cfgt.start_checkpoint:
+            self.load_ckpt(f"{self.output_dir}/ckpt/{cfgt.start_checkpoint}.ckpt")
+            first_iter = int(cfgt.start_checkpoint)
+        elif cfgt.start_pointcloud:
+            self.loadPLY(f"{self.output_dir}/point_cloud/{cfgt.start_pointcloud}.ply")
+            first_iter = int(cfgt.start_pointcloud)
+        if self.params is None:
+            self.logger.info("Initializing triangles from point cloud")
+            pcd = self.dataset.getPointCloud()
+            sampling = self.config.model.sampling or Config()
+            pts, cols, nrm = self._sample_points(pcd)
+            has_densify = (self._mu is not None and self._mu.densification is not None)
+            self.params, self.state = M.create_from_points(
+                pts, cols, nrm, self.model_cfg,
+                init_opacity=sampling.init_opacity if sampling.init_opacity is not None else 0.1,
+                capacity_factor=2.0 if has_densify else 1.0,
+                duplicate_count=sampling.duplicate_count or 1,
+                seed=self.seed)
+            if self.model_cfg.use_color_affine:
+                self.params = M.setup_color_affine(
+                    self.params, self.dataset.getTrainDatasetSize())
+            self.opt = M.AdamState.create(self.params)
+            self.logger.info(
+                f"Initialized {int(self.state.alive.sum())} triangles "
+                f"(capacity {self.params.capacity})")
+        return first_iter
+
+    def _sample_points(self, pcd):
+        """inside/outside bbox split + sampling (VanillaTS_model.py:830-862)."""
+        from ..models.model_utils import grid_sampling, grid_size_search
+        sampling = self.config.model.sampling or Config()
+        pts = np.asarray(pcd.points, np.float32)
+        cols = np.asarray(pcd.colors, np.float32)
+        nrm = np.asarray(pcd.normals, np.float32)
+        if len(pts) == 0:
+            raise ValueError("Empty point cloud and no random_init support yet")
+
+        if self.scene_bbox is None:
+            groups = [(pts, cols, nrm, "inside")]
+        else:
+            bbox = np.asarray(self.scene_bbox, np.float32).reshape(-1)
+            if bbox.size == 4:
+                inside = np.all((pts[:, :2] >= bbox[:2]) & (pts[:, :2] <= bbox[2:]), -1)
+            else:
+                inside = np.all((pts >= bbox[:3]) & (pts <= bbox[3:]), -1)
+            groups = [(pts[inside], cols[inside], nrm[inside], "inside"),
+                      (pts[~inside], cols[~inside], nrm[~inside], "outside")]
+
+        out_p, out_c, out_n = [], [], []
+        for p, c, n, name in groups:
+            method = sampling.sample_method or "direct"
+            n_sample = getattr(sampling, f"n_sample_{name}", None)
+            grid_size = getattr(sampling, f"grid_size_{name}", None)
+            if method == "random" and n_sample and 0 < n_sample < len(p):
+                idx = self._rng.permutation(len(p))[:n_sample]
+                p, c, n = p[idx], c[idx], n[idx]
+            elif method == "grid" and len(p):
+                gs = grid_size or grid_size_search(p, n_sample)
+                p, c, n = grid_sampling(p, c, n, gs)
+                norms = np.linalg.norm(n, axis=1, keepdims=True)
+                n = n / np.maximum(norms, 1e-12)
+            self.logger.info(f"Sampled {len(p)} {name} points ({method})")
+            out_p.append(p); out_c.append(c); out_n.append(n)
+        return (np.concatenate(out_p), np.concatenate(out_c), np.concatenate(out_n))
+
+    def _model_update(self, iteration: int):
+        """Adaptive density control cadence (VanillaTS_model.py:567-581)."""
+        mu = self._mu
+        if mu is None:
+            return
+
+        def active(args, end_attr="end_iter"):
+            return (args is not None
+                    and args.start_iter < iteration <= getattr(args, end_attr)
+                    and iteration % args.interval_iter == 0)
+
+        d = mu.densification
+        if active(d):
+            thr = self.grad_threshold_scheduler(iteration - d.start_iter)
+            self.params, self.opt, self.state, n, overflow = self._j_densify(
+                self.params, self.opt, self.state, _f32(thr),
+                d.min_view_count, _f32(d.split_scale_threshold))
+            if bool(overflow):
+                self._grow_capacity()
+            self.logger.info(f"[ITER {iteration}, densification] grew {int(n)} "
+                             f"points, threshold {thr:.5f}")
+
+        op = mu.opacity_pruning
+        if op is not None and op.start_iter < iteration <= (op.hold_iter or op.end_iter) \
+                and iteration % op.interval_iter == 0:
+            thr = self.opacity_pruning_scheduler(iteration - op.start_iter)
+            self.params, self.opt, self.state, n = self._j_opacity_pruning(
+                self.params, self.opt, self.state, _f32(thr))
+            self.logger.info(f"[ITER {iteration}, opacity pruning] pruned {int(n)}, "
+                             f"threshold {thr:.5f}")
+
+        oc = mu.opacity_clipping
+        if oc is not None and oc.start_iter < iteration <= (oc.hold_iter or oc.end_iter) \
+                and iteration % oc.interval_iter == 0:
+            thr = self.opacity_clipping_scheduler(iteration - oc.start_iter)
+            self.params, self.opt, self.state, n = self._j_opacity_clipping(
+                self.params, self.opt, self.state, _f32(thr))
+            self.logger.info(f"[ITER {iteration}, opacity clipping] clipped {int(n)}")
+
+        sp = mu.scale_pruning
+        if active(sp):
+            self.params, self.opt, self.state, n = self._j_scale_pruning(
+                self.params, self.opt, self.state,
+                _f32(sp.radii_threshold), _f32(sp.scale_threshold))
+            self.logger.info(f"[ITER {iteration}, scale pruning] pruned {int(n)}")
+
+        sc = mu.scale_clipping
+        if sc is not None and sc.start_iter < iteration <= (sc.hold_iter or sc.end_iter) \
+                and iteration % sc.interval_iter == 0:
+            mx = self.scale_max_scheduler(iteration - sc.start_iter)
+            self.params, self.opt, self.state, n = self._j_scale_clipping(
+                self.params, self.opt, self.state, _f32(mx))
+            self.logger.info(f"[ITER {iteration}, scale clipping] clipped {int(n)}, "
+                             f"max {mx:.4f}")
+
+        cp = mu.contribution_pruning
+        if active(cp):
+            target = cp.target_point_num
+            ratio = cp.contrib_max_ratio
+            prune_ratio = cp.prune_ratio
+            retain = cp.sparsity_retain_ratio or 0.0
+            if cp.downsample_iteration:
+                for it, pnum in zip(cp.downsample_iteration, cp.downsample_point_num):
+                    if iteration > it:
+                        target = pnum
+                        ratio *= 0.5
+                        new_retain = retain + (0.8 - retain) * 0.5
+                        prune_ratio *= (1 - retain) / (1 - new_retain)
+                        retain = new_retain
+            ipd = None
+            if retain > 0:
+                from ..models.model_utils import inter_point_distance_np
+                xyz = np.asarray(M.get_xyz(self.params))
+                ipd = jnp.asarray(inter_point_distance_np(xyz))
+            self.params, self.opt, self.state, n = M.contribution_pruning(
+                self.params, self.opt, self.state,
+                min_view_count=cp.min_view_count, target_point_num=target,
+                prune_ratio=_f32(prune_ratio),
+                max_prune_ratio=_f32(cp.max_prune_ratio),
+                contrib_max_ratio=_f32(ratio), scene_bbox=self.scene_bbox,
+                ste_threshold=self.model_cfg.ste_threshold,
+                inter_point_dist=ipd, sparsity_retain_ratio=retain)
+            self.logger.info(f"[ITER {iteration}, contribution pruning] pruned {int(n)}")
+
+        orr = mu.opacity_reset
+        if active(orr):
+            self.params, self.opt, self.state = self._j_opacity_reset(
+                self.params, self.opt, self.state, _f32(orr.reset_value))
+            self.logger.info(f"[ITER {iteration}, opacity reset] -> {orr.reset_value}")
+
+        g = mu.gamma_schedule
+        if g is not None and g.start_iter < iteration <= g.end_iter:
+            gamma = self.gamma_scheduler(iteration - g.start_iter)
+            self.state = replace(self.state, gamma=jnp.float32(gamma))
+
+        shs = mu.sh_schedule
+        if shs is not None:
+            deg = sum(1 for it in shs.one_up_iters if iteration > it)
+            deg = min(deg, self.model_cfg.max_sh_degree)
+            # host-side mirror avoids a device sync every iteration
+            if deg != self._sh_degree_host:
+                self._sh_degree_host = deg
+                self.state = replace(self.state, active_sh_degree=jnp.int32(deg))
+
+    def _grow_capacity(self):
+        """Host-side capacity reallocation (pad by 50%, recompile)."""
+        old = self.params.capacity
+        new = int(old * 1.5 + 255) // 256 * 256
+
+        def pad(leaf):
+            if leaf is None or leaf.ndim == 0 or leaf.shape[0] != old:
+                return leaf
+            pad_shape = (new - old,) + leaf.shape[1:]
+            return jnp.concatenate([leaf, jnp.zeros(pad_shape, leaf.dtype)], 0)
+
+        self.params = jax.tree_util.tree_map(pad, self.params)
+        self.opt = jax.tree_util.tree_map(pad, self.opt)
+        self.state = jax.tree_util.tree_map(pad, self.state)
+        self.logger.warning(f"Capacity grown {old} -> {new} (recompilation follows)")
+
+    def _loss_weights(self, iteration: int) -> dict:
+        t = self.config.trainer
+        w_ssim = t.w_ssim or 0.0
+        self._w_dog = t.w_dog or 0.0
+        self._w_smooth = t.w_smoothness or 0.0
+        self._dog_freq = 90
+        geo = t.geometry_loss
+        self._w_geometry = geo.w_geometry if geo is not None else 0.0
+        self._geo_scale_factor = geo.scale_factor if geo is not None else 0.5
+        w_geo = self._w_geometry if (geo is not None and iteration > (geo.start_iter or 0)) else 0.0
+        vr = t.vertex_reg
+        self._w_vertex = (vr.w_vertex_reg or 0.0) if vr is not None else 0.0
+        w_v = self._w_vertex if (vr is not None and iteration > (vr.start_iter or 0)) else 0.0
+        self._w_affine = t.w_affine_reg or 0.0
+
+        oreg = t.w_opacity_reg
+        w_quad = w_lin = 0.0
+        if oreg is not None:
+            if iteration > (oreg.linear_start_iter or 0):
+                w_lin = oreg.linear_reg or 0.0
+            elif iteration > (oreg.quad_start_iter or 0):
+                w_quad = oreg.quad_reg or 0.0
+
+        w_l1 = 1.0 - w_ssim - self._w_dog - self._w_smooth
+        return {k: _f32(v) for k, v in dict(
+            l1=w_l1, ssim=w_ssim, dog=self._w_dog, smooth=self._w_smooth,
+            geometry=w_geo, scaling=t.w_scaling_reg or 0.0,
+            opacity_quad=w_quad, opacity_linear=w_lin,
+            vertex=w_v, affine=self._w_affine).items()}
+
+    def train(self):
+        try:
+            self._train()
+        except Exception as e:
+            self.logger.error(f"Training failed: {e}")
+            raise
+
+    def _train(self):
+        cfgt = self.config.trainer
+        first_iter = self._init_model()
+        self._track_stats = (self._mu is not None and self._mu.statistic is not None)
+
+        if cfgt.initial_eval:
+            self._evaluate(first_iter)
+
+        self.logger.info("Training started")
+        timer = Timer("Training")
+        vr = cfgt.vertex_reg
+        nearest_idx = None
+
+        for iteration in range(first_iter + 1, (cfgt.iterations or 30000) + 1):
+            timer.log("data loading")
+            camera = self.dataset.nextTrainData()
+            settings = self._settings_for(camera)
+            camera = camera.strip_static()
+
+            timer.log("train step")
+            bg_name = cfgt.train_background or "random"
+            background = jnp.asarray(get_color_tensor(bg_name, self._rng))
+            weights = self._loss_weights(iteration)
+            lrs = self._lrs(iteration)
+
+            if self._w_vertex > 0 and iteration > (vr.start_iter or 0) and \
+                    ((iteration - 1) % (vr.interval_iter or 10) == 0 or nearest_idx is None):
+                from ..models.model_utils import nearest_neighbor_np
+                pts = np.asarray(self.params.vertex).reshape(-1, 3)
+                nearest_idx = jnp.asarray(nearest_neighbor_np(pts, 3))
+
+            self.params, self.opt, self.state, loss, aux = self._train_step(
+                settings, self.params, self.opt, self.state, camera,
+                background, lrs, weights, np.int32(iteration), nearest_idx)
+
+            if cfgt.eval_interval_iter and iteration % cfgt.eval_interval_iter == 0:
+                timer.log("evaluation")
+                self._evaluate(iteration)
+
+            timer.log("model update")
+            self._model_update(iteration)
+
+            if cfgt.log_interval_iter and iteration % cfgt.log_interval_iter == 0:
+                timer.log("logging")
+                loss_val = float(loss)
+                if self.model_cfg.ste_threshold is not None:
+                    count = int(((np.asarray(M.get_opacity(self.params))[:, 0]
+                                  > self.model_cfg.ste_threshold)
+                                 & np.asarray(self.state.alive)).sum())
+                else:
+                    count = int(self.state.alive.sum())
+                gamma = float(self.state.gamma)
+                self.logger.info(
+                    f"[ITER {iteration}] Loss: {loss_val:.5f}, Triangles: {count}, "
+                    f"Gamma: {gamma:.3f}, SH: {int(self.state.active_sh_degree)}")
+                self.logger.add_scalar("Loss", loss_val, iteration)
+                self.logger.add_scalar("Triangle Count", count, iteration)
+                self.logger.add_scalar("Training Time (min)",
+                                       timer.total_duration() / 60, iteration)
+                if bool(aux["overflow"]):
+                    self.logger.warning("pair budget overflow this step — "
+                                        "consider raising pairs_per_triangle")
+
+            if cfgt.histogram_interval_iter and iteration % cfgt.histogram_interval_iter == 0:
+                timer.log("histogram")
+                alive = np.asarray(self.state.alive)
+                self.logger.add_histogram(
+                    "Opacity", np.asarray(M.get_opacity(self.params))[alive, 0], iteration)
+                self.logger.add_histogram(
+                    "Scaling", np.asarray(M.get_scaling(self.params))[alive], iteration)
+
+            save_iters = cfgt.save_iterations or []
+            if iteration in save_iters or (cfgt.save_interval_iter
+                                           and iteration % cfgt.save_interval_iter == 0):
+                timer.log("point cloud saving")
+                self.savePLY(f"{self.output_dir}/point_cloud/{iteration}.ply")
+
+            ckpt_iters = cfgt.checkpoint_iterations or []
+            if iteration in ckpt_iters or (cfgt.ckpt_interval_iter
+                                           and iteration % cfgt.ckpt_interval_iter == 0):
+                timer.log("checkpoint saving")
+                self.save_ckpt(f"{self.output_dir}/ckpt/{iteration}.ckpt")
+
+            if iteration in (cfgt.save_glb_iterations or []):
+                timer.log("GLB saving")
+                self.saveGLB(f"{self.output_dir}/glb/{iteration}.glb")
+
+            timer.stop()
+
+        self.logger.info(timer.message())
+        self.logger.info("Training finished")
+
+    # ------------------------------------------------------------------
+    # eval
+    # ------------------------------------------------------------------
+    def _evaluate(self, iteration: int, compute_lpips: bool | None = None):
+        cfgt = self.config.trainer
+        bg_name = cfgt.eval_background or "black"
+        background = jnp.asarray(get_color_tensor(bg_name, self._rng))
+        eval_mask = True if cfgt.eval_alpha_mask is None else bool(cfgt.eval_alpha_mask)
+        if compute_lpips is None:
+            compute_lpips = bool(cfgt.eval_lpips)
+
+        psnrs, ssims, lpips_vals = [], [], []
+        for i, camera in enumerate(self.dataset.getTestDataset()):
+            settings = self._settings_for(camera)
+            img, psnr, ssim_val = self._eval_step(
+                settings, self.params, self.state, camera.strip_static(),
+                background, eval_mask)
+            psnrs.append(float(psnr))
+            ssims.append(float(ssim_val))
+            if compute_lpips:
+                lpips_vals.append(self._lpips(np.asarray(img), np.asarray(camera.gt_image)))
+            if i < 3:
+                self.logger.add_image(f"Pred {i}", np.asarray(img), iteration)
+
+        msg = (f"[ITER {iteration}] Eval PSNR: {np.mean(psnrs):.3f}, "
+               f"SSIM: {np.mean(ssims):.3f}")
+        if lpips_vals:
+            msg += f", LPIPS: {np.mean(lpips_vals):.3f}"
+        msg += (f", views: {len(psnrs)}, "
+                f"triangles: {int(self.state.alive.sum())}")
+        self.logger.info(msg)
+        self.logger.add_scalar("Average PSNR", float(np.mean(psnrs)), iteration)
+        self.logger.add_scalar("Average SSIM", float(np.mean(ssims)), iteration)
+        if lpips_vals:
+            self.logger.add_scalar("Average LPIPS", float(np.mean(lpips_vals)), iteration)
+        return float(np.mean(psnrs))
+
+    _lpips_model = None
+
+    def _lpips(self, img: np.ndarray, gt: np.ndarray) -> float:
+        """VGG LPIPS via torch-CPU (torchmetrics is unavailable; use the
+        classic weighted-activation-distance with torchvision VGG16)."""
+        try:
+            from .lpips_torch import lpips_vgg
+            return lpips_vgg(img, gt)
+        except Exception as e:  # pragma: no cover - environment dependent
+            self.logger.warning(f"LPIPS unavailable: {e}")
+            return float("nan")
+
+    def evaluate(self):
+        return self._evaluate(0)
+
+    # ------------------------------------------------------------------
+    # IO
+    # ------------------------------------------------------------------
+    def _alive_arrays(self):
+        alive = np.asarray(self.state.alive)
+        vertex = np.asarray(self.params.vertex)[alive]
+        opacity = np.asarray(self.params.opacity)[alive]
+        shs = np.asarray(M.get_features(self.params))[alive]
+        return vertex, opacity, shs.reshape(len(vertex), -1)
+
+    def toRawTriangle(self, bbox_filtering: bool = True) -> RawTriangle:
+        vertex, opacity, shs = self._alive_arrays()
+        if bbox_filtering and self.scene_bbox is not None:
+            bbox = np.asarray(self.scene_bbox, np.float32).reshape(-1)
+            xyz = vertex.mean(1)
+            if bbox.size == 4:
+                keep = np.all((xyz[:, :2] >= bbox[:2]) & (xyz[:, :2] <= bbox[2:]), -1)
+            else:
+                keep = np.all((xyz >= bbox[:3]) & (xyz <= bbox[3:]), -1)
+            vertex, opacity, shs = vertex[keep], opacity[keep], shs[keep]
+        thr = self.model_cfg.ste_threshold
+        if thr is not None:
+            sig = 1 / (1 + np.exp(-opacity[:, 0]))
+            keep = sig > thr
+            vertex, shs = vertex[keep], shs[keep]
+            opacity = np.full((keep.sum(), 1), 10.0, np.float32)
+        return RawTriangle(vertex, opacity, shs)
+
+    def savePLY(self, path, bbox_filtering: bool = True):
+        self.logger.info(f"Saving triangles to {path}")
+        self.toRawTriangle(bbox_filtering).savePLY(path, save_extra=True)
+
+    def saveGLB(self, path, bbox_filtering: bool = True):
+        self.logger.info(f"Saving mesh to {path}")
+        self.toRawTriangle(bbox_filtering).saveGLB(
+            path, save_back=not self.model_cfg.back_culling)
+
+    def loadPLY(self, path):
+        raw = RawTriangle(ply_path=path)
+        n = len(raw)
+        K = (self.model_cfg.max_sh_degree + 1) ** 2
+        shs = raw.shs.reshape(n, -1, 3)
+        feats = np.zeros((n, K, 3), np.float32)
+        take = min(K, shs.shape[1])
+        feats[:, :take] = shs[:, :take]
+        cap = M._round_up(n, 256)
+
+        def pad(x):
+            return np.concatenate([x, np.zeros((cap - n,) + x.shape[1:], x.dtype)])
+
+        self.params = M.TriangleParams(
+            vertex=jnp.asarray(pad(raw.vertex)),
+            opacity=jnp.asarray(pad(raw.opacity)),
+            f_dc=jnp.asarray(pad(feats[:, :1])),
+            f_rest=jnp.asarray(pad(feats[:, 1:])))
+        if self.model_cfg.use_color_affine:
+            self.params = M.setup_color_affine(
+                self.params, self.dataset.getTrainDatasetSize())
+        self.state = M.TriangleState.create(cap)
+        self.state = replace(self.state, alive=jnp.asarray(np.arange(cap) < n))
+        self.opt = M.AdamState.create(self.params)
+        self.logger.info(f"Loaded {n} triangles from {path}")
+
+    def save_ckpt(self, path):
+        self.logger.info(f"Saving checkpoint to {path}")
+        Path(path).parent.mkdir(parents=True, exist_ok=True)
+        blob = dict(
+            params=jax.tree_util.tree_map(lambda x: None if x is None else np.asarray(x), self.params),
+            opt=jax.tree_util.tree_map(lambda x: None if x is None else np.asarray(x), self.opt),
+            state=jax.tree_util.tree_map(lambda x: None if x is None else np.asarray(x), self.state),
+            scene_bbox=self.scene_bbox)
+        with open(path, "wb") as f:
+            pickle.dump(blob, f)
+
+    def load_ckpt(self, path):
+        with open(path, "rb") as f:
+            blob = pickle.load(f)
+        to_dev = lambda x: None if x is None else jnp.asarray(x)
+        self.params = jax.tree_util.tree_map(to_dev, blob["params"])
+        self.opt = jax.tree_util.tree_map(to_dev, blob["opt"])
+        self.state = jax.tree_util.tree_map(to_dev, blob["state"])
+        self.scene_bbox = blob.get("scene_bbox")
+        self.logger.info(f"Restored checkpoint {path} "
+                         f"({int(self.state.alive.sum())} triangles)")

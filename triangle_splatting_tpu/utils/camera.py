@@ -145,3 +145,10 @@ class Camera:
     def without_image(self) -> "Camera":
         from dataclasses import replace
         return replace(self, gt_image=None, alpha_mask=None)
+
+    def strip_static(self) -> "Camera":
+        """Clear per-camera static metadata (image_name, camera_id) so every
+        same-resolution camera shares one jit trace — static dataclass fields
+        are hashed into the treedef and would otherwise retrace per view."""
+        from dataclasses import replace
+        return replace(self, image_name="", camera_id=0)
