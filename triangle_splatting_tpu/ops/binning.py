@@ -8,15 +8,25 @@ TPU-native replacement for the CUDA binning phase
   cub InclusiveSum(tiles_touched)       jnp.cumsum
   D2H copy of num_rendered (sync!)      fixed budget ``max_pairs`` + overflow
   duplicateWithKeys kernel              scatter-max marker + cummax expansion
-  cub radix sort (tile<<32|depth)       jax.lax.sort((tile, depth), stable)
-  identifyTileRanges kernel             searchsorted over sorted tile ids
+  cub radix sort (tile<<32|depth)       jax.lax.sort on ONE fused int32 key
+  identifyTileRanges kernel             searchsorted over sorted keys
+
+Performance notes (v5e measurements): TPU gathers/scatters/sorts cost
+~5-10 ms per MA-sized op, so the design minimizes the number of MA-sized
+index ops: one table gather (per-triangle rect/depth data packed into one
+matrix), one single-key sort with a single payload (validity is encoded in
+the key), one relayout scatter whose per-pair shift is computed with scans
+instead of table gathers.
+
+The sort key packs ``tile_id`` above a *quantized* depth:
+``key = tile << depth_bits | quantize(depth)``. Ties within a quantization
+bucket keep pair-generation (triangle-index) order — deterministic; the
+oracle quantizes identically so parity is exact.
 
 The variable ``num_rendered`` of the reference is hostile to XLA (dynamic
 shapes + device->host sync, src/rasterizer.cu:186-192), so pairs live in a
 fixed-capacity buffer: pairs beyond the budget are dropped and reported via
-``overflow`` (callers size the budget from ``pairs_per_triangle`` and watch
-the flag). Everything here is index bookkeeping — gradients do not flow
-through it (the blend custom-VJP differentiates w.r.t. gathered pair data).
+``overflow``. Gradients do not flow through binning.
 """
 
 from __future__ import annotations
@@ -34,14 +44,12 @@ from .projection import Preprocessed, RasterSettings
 class Binning:
     """Sorted pair lists + per-tile ranges (all shapes static).
 
-    The per-tile ranges are ``align``-aligned: tile t owns slots
-    [tile_starts[t], tile_starts[t] + tile_counts[t]) and the next tile
-    starts at the next multiple of ``align``. Alignment lets the blend
-    kernel DMA lane-aligned (16, align) slabs out of the field-major pair
-    buffer (Mosaic requires 128-lane-aligned slices). Padding slots have
-    ``pair_valid == False``.
+    Per-tile ranges are ``align``-aligned: tile t owns slots
+    [tile_starts[t], tile_starts[t] + tile_counts[t]); the next tile starts
+    at the next multiple of ``align`` (lane-aligned DMA slabs in the blend
+    kernel). Padding slots have ``pair_tri == -1``.
     """
-    pair_tri: jax.Array       # (ma,) int32 — triangle id per sorted pair slot
+    pair_tri: jax.Array       # (ma,) int32 — triangle id per slot, -1 if empty
     pair_valid: jax.Array     # (ma,) bool
     tile_starts: jax.Array    # (num_tiles + 1,) int32, align-multiples
     tile_counts: jax.Array    # (num_tiles,) int32 — real pairs per tile
@@ -58,18 +66,59 @@ def aligned_capacity(max_pairs: int, num_tiles: int, align: int) -> int:
     return max_pairs + align * num_tiles
 
 
+def depth_bits_for(num_tiles: int) -> int:
+    """Depth-quantization bits so (tile+1, depth) packs into int32."""
+    tile_bits = max(int(num_tiles + 1).bit_length(), 1)
+    return min(24, 30 - tile_bits)
+
+
+def quantize_depth(depth: jnp.ndarray, valid: jnp.ndarray, bits: int):
+    """Rank-preserving quantization of view depths to ``bits`` bits."""
+    lo = jnp.min(jnp.where(valid, depth, jnp.inf))
+    hi = jnp.max(jnp.where(valid, depth, -jnp.inf))
+    lo = jnp.where(jnp.isfinite(lo), lo, 0.0)
+    hi = jnp.where(hi > lo, hi, lo + 1.0)
+    maxq = (1 << bits) - 1
+    q = (depth - lo) / (hi - lo) * maxq
+    return jnp.clip(q, 0, maxq).astype(jnp.int32)
+
+
+def _segment_carry(markers: jnp.ndarray, is_set: jnp.ndarray):
+    """Per-element value of the most recent 'set' marker (inclusive).
+
+    Associative 'last set wins' scan — replaces an MA-sized table gather
+    (scans are ~4x cheaper than gathers on TPU).
+    """
+    def combine(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, bv, av), af | bf
+    vals, _ = jax.lax.associative_scan(combine, (markers, is_set))
+    return vals
+
+
 def bin_triangles(prep: Preprocessed, settings: RasterSettings,
                   max_pairs: int, align: int = 128) -> Binning:
     """Expand triangles into depth-sorted per-tile pair lists."""
     P = prep.depth.shape[0]
     grid_w = settings.grid_w
     num_tiles = settings.num_tiles
+    dbits = depth_bits_for(num_tiles)
 
     counts = prep.tiles_touched.astype(jnp.int32)            # (P,)
     offsets = jnp.cumsum(counts) - counts                    # exclusive
     total = offsets[-1] + counts[-1] if P > 0 else jnp.int32(0)
     num_pairs = jnp.minimum(total, max_pairs)
     overflow = total > max_pairs
+
+    # Per-triangle side table packed into ONE matrix -> one pair gather.
+    depth_q = quantize_depth(prep.depth, prep.valid, dbits)
+    tri_table = jnp.stack([
+        offsets,
+        prep.rect_min[:, 0], prep.rect_min[:, 1],
+        jnp.maximum(prep.rect_max[:, 0] - prep.rect_min[:, 0], 1),
+        depth_q,
+    ], axis=1)                                               # (P, 5) int32
 
     # Expand: marker scatter-max of (tri+1) at each triangle's first pair
     # slot, then cummax-1 gives the owning triangle of every pair slot.
@@ -83,39 +132,47 @@ def bin_triangles(prep: Preprocessed, settings: RasterSettings,
     valid = (pair_idx < num_pairs) & (tri >= 0)
     tri_safe = jnp.clip(tri, 0, P - 1)
 
-    # Tile coordinate of each pair: row-major walk of the triangle's rect.
-    within = pair_idx - offsets[tri_safe]
-    rmin = prep.rect_min[tri_safe]                           # (max_pairs, 2)
-    rw = jnp.maximum(prep.rect_max[tri_safe, 0] - rmin[:, 0], 1)
-    tile_x = rmin[:, 0] + within % rw
-    tile_y = rmin[:, 1] + within // rw
+    row = tri_table[tri_safe]                                # ONE gather (MP,5)
+    within = pair_idx - row[:, 0]
+    rw = row[:, 3]
+    tile_x = row[:, 1] + within % rw
+    tile_y = row[:, 2] + within // rw
     tile_id = jnp.where(valid, tile_y * grid_w + tile_x, num_tiles)
 
-    # Sort by (tile, view depth); stable => ties keep pair generation order
-    # (triangle index order), matching the reference's stable radix sort over
-    # tile<<32|float_bits(depth) keys (src/rasterizer.cu:59-74).
-    depth = jnp.where(valid, prep.depth[tri_safe], jnp.inf)
-    sorted_tile, _, sorted_tri, sorted_valid = jax.lax.sort(
-        (tile_id.astype(jnp.int32), depth, tri_safe, valid),
-        dimension=0, num_keys=2, is_stable=True)
+    # ONE fused int32 key; validity is encoded (sentinel tile sorts last).
+    key = (tile_id << dbits) | jnp.where(valid, row[:, 4], 0)
+    sorted_key, sorted_tri = jax.lax.sort((key, tri_safe), num_keys=1,
+                                          is_stable=True)
+    sorted_tile = sorted_key >> dbits
+    sorted_valid = sorted_tile < num_tiles
 
-    # Per-tile ranges via binary search on the sorted tile ids.
-    boundaries = jnp.arange(num_tiles + 1, dtype=jnp.int32)
-    raw_starts = jnp.searchsorted(sorted_tile, boundaries, side="left").astype(jnp.int32)
-    tile_counts = raw_starts[1:] - raw_starts[:-1]               # (num_tiles,)
+    # Per-tile ranges via binary search on the sorted keys.
+    boundaries = jnp.arange(num_tiles + 1, dtype=jnp.int32) << dbits
+    raw_starts = jnp.searchsorted(sorted_key, boundaries, side="left").astype(jnp.int32)
+    tile_counts = raw_starts[1:] - raw_starts[:-1]           # (num_tiles,)
 
     # Re-lay pairs so every tile's range starts on an ``align`` boundary.
+    # The per-pair shift (astart - rawstart of its tile) is distributed by a
+    # tiny scatter at tile boundaries + a segment-carry scan (no MA gather).
     ma = aligned_capacity(max_pairs, num_tiles, align)
     padded = ((tile_counts + align - 1) // align) * align
     astarts = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                                jnp.cumsum(padded).astype(jnp.int32)])
-    t_clip = jnp.clip(sorted_tile, 0, num_tiles - 1)
-    shift = astarts[t_clip] - raw_starts[t_clip]
-    new_pos = jnp.where(sorted_valid,
-                        jnp.arange(max_pairs, dtype=jnp.int32) + shift, ma)
-    pair_tri = jnp.zeros((ma,), jnp.int32).at[new_pos].set(sorted_tri, mode="drop")
-    pair_valid = jnp.zeros((ma,), bool).at[new_pos].set(sorted_valid, mode="drop")
+    delta_per_tile = astarts[:-1] - raw_starts[:-1]          # (num_tiles,)
+    # Only non-empty tiles have unique raw_starts; empty tiles would stomp
+    # a sharing tile's marker, so drop them from the scatter.
+    start_idx = jnp.where(tile_counts > 0, raw_starts[:-1], max_pairs)
+    delta_markers = jnp.zeros((max_pairs,), jnp.int32).at[start_idx].set(
+        delta_per_tile, mode="drop")
+    is_start = jnp.zeros((max_pairs,), bool).at[start_idx].set(
+        True, mode="drop")
+    delta = _segment_carry(delta_markers, is_start)
 
-    return Binning(pair_tri=pair_tri, pair_valid=pair_valid,
+    new_pos = jnp.where(sorted_valid,
+                        jnp.arange(max_pairs, dtype=jnp.int32) + delta, ma)
+    pair_tri = jnp.full((ma,), -1, jnp.int32).at[new_pos].set(
+        sorted_tri, mode="drop")
+
+    return Binning(pair_tri=pair_tri, pair_valid=pair_tri >= 0,
                    tile_starts=astarts, tile_counts=tile_counts,
                    num_pairs=num_pairs.astype(jnp.int32), overflow=overflow)

@@ -55,7 +55,11 @@ def blend_oracle(prep: Preprocessed, opacity: jnp.ndarray, gamma,
 
     # Depth sort (stable — ties keep triangle-index order, matching the
     # stable radix sort over (tile, depth-bits) keys in src/rasterizer.cu).
-    sort_depth = jnp.where(prep.valid, prep.depth, jnp.inf)
+    # Depths are quantized EXACTLY like the production binning's fused sort
+    # key so the composite order matches the Pallas path bit-for-bit.
+    from .binning import depth_bits_for, quantize_depth
+    dq = quantize_depth(prep.depth, prep.valid, depth_bits_for(settings.num_tiles))
+    sort_depth = jnp.where(prep.valid, dq, jnp.iinfo(jnp.int32).max)
     order = jnp.argsort(sort_depth, stable=True)
 
     px = jnp.arange(W, dtype=jnp.float32)[None, :].repeat(H, axis=0)   # (H, W)

@@ -109,8 +109,14 @@ def _alpha_terms(buf, px, py, gamma, in_range):
     ecc = 1.0 - 3.0 * mn
     ok = (ecc >= 0.0) & (ecc <= ECC_MAX) & in_range
     eccs = jnp.clip(ecc, 0.0, ECC_MAX)
-    # ecc ** (2*gamma) via exp/log; log(0) -> -inf -> pow 0, exactly right.
-    powed = jnp.exp((2.0 * gamma) * jnp.log(eccs))
+    # ecc ** (2*gamma); photo configs train at gamma == 1 for the whole run,
+    # so branch to a transcendental-free square (exp/log via lax.cond only
+    # during the solidify anneal).
+    powed = jax.lax.cond(
+        gamma == 1.0,
+        lambda e: e * e,
+        lambda e: jnp.exp((2.0 * gamma) * jnp.log(e)),
+        eccs)
     expp = jnp.exp(-0.5 * powed)
     alpha_un = _fld(buf, 6) * expp
     alpha = jnp.minimum(ALPHA_MAX, alpha_un)
@@ -147,12 +153,14 @@ def _fwd_kernel(
     ncontrib_ref,         # (TH, TW) int32
     pair_contrib_hbm,     # (2, MP) f32, HBM — written via DMA
     # scratch
-    buf,                  # VMEM (16, SLAB)
-    stage,                # VMEM (2, SLAB) — pair contrib staging
+    buf,                  # VMEM (2, 16, SLAB) — double-buffered input slabs
+    stage,                # VMEM (2, 2, SLAB) — pair contrib staging slots
     accum,                # VMEM (8, TH, TW): rgb, depth, normal, T
     ncnt,                 # VMEM (TH, TW) int32
-    in_sem, out_sem,
+    in_sem,               # DMA (2,)
+    out_sem,              # DMA (2,)
     *, tile_h: int, tile_w: int, grid_w: int, width: int, height: int,
+    rich: bool,
 ):
     th, tw = tile_h, tile_w
     ty = pl.program_id(0)
@@ -174,14 +182,24 @@ def _fwd_kernel(
 
     e_iota = jax.lax.broadcasted_iota(jnp.int32, (SLAB, 1, 1), 0)
 
+    def in_dma(slot, s):
+        off = pl.multiple_of(start + s * SLAB, SLAB)
+        return pltpu.make_async_copy(
+            pairs_hbm.at[:, pl.ds(off, SLAB)], buf.at[slot], in_sem.at[slot])
+
+    @pl.when(nslabs > 0)
+    def _():
+        in_dma(0, 0).start()
+
     def body(carry):
         s, _ = carry
-        off = pl.multiple_of(start + s * SLAB, SLAB)
-        copy_in = pltpu.make_async_copy(
-            pairs_hbm.at[:, pl.ds(off, SLAB)], buf, in_sem)
-        copy_in.start()
-        copy_in.wait()
-        buf_t = buf[:, :].T                                     # (SLAB, 16)
+        slot = s % 2
+        # Prefetch the next slab while this one computes.
+        @pl.when(s + 1 < nslabs)
+        def _():
+            in_dma((s + 1) % 2, s + 1).start()
+        in_dma(slot, s).wait()
+        buf_t = buf[slot, :, :].T                               # (SLAB, 16)
 
         in_range = (e_iota + s * SLAB) < npairs                 # (S, 1, 1)
         a1, a2, a3, eccs, expp, alpha_un, alpha, ok = _alpha_terms(
@@ -198,11 +216,12 @@ def _fwd_kernel(
         accum[0:1, :, :] += jnp.sum(contrib * _fld(buf_t, 7), axis=0, keepdims=True)
         accum[1:2, :, :] += jnp.sum(contrib * _fld(buf_t, 8), axis=0, keepdims=True)
         accum[2:3, :, :] += jnp.sum(contrib * _fld(buf_t, 9), axis=0, keepdims=True)
-        d = _fld(buf_t, 10) + _fld(buf_t, 11) * a1 + _fld(buf_t, 12) * a2
-        accum[3:4, :, :] += jnp.sum(contrib * d, axis=0, keepdims=True)
-        accum[4:5, :, :] += jnp.sum(contrib * _fld(buf_t, 13), axis=0, keepdims=True)
-        accum[5:6, :, :] += jnp.sum(contrib * _fld(buf_t, 14), axis=0, keepdims=True)
-        accum[6:7, :, :] += jnp.sum(contrib * _fld(buf_t, 15), axis=0, keepdims=True)
+        if rich:
+            d = _fld(buf_t, 10) + _fld(buf_t, 11) * a1 + _fld(buf_t, 12) * a2
+            accum[3:4, :, :] += jnp.sum(contrib * d, axis=0, keepdims=True)
+            accum[4:5, :, :] += jnp.sum(contrib * _fld(buf_t, 13), axis=0, keepdims=True)
+            accum[5:6, :, :] += jnp.sum(contrib * _fld(buf_t, 14), axis=0, keepdims=True)
+            accum[6:7, :, :] += jnp.sum(contrib * _fld(buf_t, 15), axis=0, keepdims=True)
         ncnt[:, :] += jnp.sum((alive & in_range).astype(jnp.int32), axis=0)
 
         T_incl = T_excl * one_m
@@ -211,15 +230,27 @@ def _fwd_kernel(
         accum[7:8, :, :] = new_T
 
         # Two-step reductions: Mosaic rejects multi-axis reduces on 3D vregs.
+        @pl.when(s >= 2)
+        def _():
+            out_dma_wait(slot)
         c_sum = jnp.sum(jnp.sum(contrib, axis=1), axis=1, keepdims=True)
         c_max = jnp.max(jnp.max(contrib, axis=1), axis=1, keepdims=True)
-        stage[:, :] = jnp.concatenate([c_sum, c_max], axis=1).T  # (2, SLAB)
-        copy_out = pltpu.make_async_copy(
-            stage, pair_contrib_hbm.at[:, pl.ds(off, SLAB)], out_sem)
-        copy_out.start()
-        copy_out.wait()
+        stage[slot, :, :] = jnp.concatenate([c_sum, c_max], axis=1).T  # (2, SLAB)
+        out_dma(slot, s).start()
 
         return s + 1, jnp.max(new_T)
+
+    def out_dma(slot, s):
+        off = pl.multiple_of(start + s * SLAB, SLAB)
+        return pltpu.make_async_copy(
+            stage.at[slot], pair_contrib_hbm.at[:, pl.ds(off, SLAB)],
+            out_sem.at[slot])
+
+    def out_dma_wait(slot):
+        # Waiting only needs the semaphore; reconstruct with matching shape.
+        pltpu.make_async_copy(stage.at[slot],
+                              pair_contrib_hbm.at[:, pl.ds(0, SLAB)],
+                              out_sem.at[slot]).wait()
 
     def cond(carry):
         s, t_max = carry
@@ -227,15 +258,27 @@ def _fwd_kernel(
 
     s_final, _ = jax.lax.while_loop(cond, body, (0, jnp.float32(1.0)))
 
+    # Early exit can leave the prefetched next input slab in flight; an
+    # un-awaited DMA at kernel end traps the device on the next grid step.
+    @pl.when(s_final < nslabs)
+    def _():
+        in_dma(s_final % 2, s_final).wait()
+
+    # Drain pending contrib writes (up to two in flight).
+    @pl.when(s_final >= 2)
+    def _():
+        out_dma_wait(s_final % 2)
+
+    @pl.when(s_final >= 1)
+    def _():
+        out_dma_wait((s_final + 1) % 2)
+
     # Slabs skipped by early exit still need their pair-contrib slots
     # zeroed (the buffer is uninitialized output memory).
     def zero_body(s):
-        off = pl.multiple_of(start + s * SLAB, SLAB)
-        stage[:, :] = jnp.zeros((2, SLAB), jnp.float32)
-        copy_out = pltpu.make_async_copy(
-            stage, pair_contrib_hbm.at[:, pl.ds(off, SLAB)], out_sem)
-        copy_out.start()
-        copy_out.wait()
+        stage[0, :, :] = jnp.zeros((2, SLAB), jnp.float32)
+        out_dma(0, s).start()
+        out_dma_wait(0)
         return s + 1
 
     jax.lax.while_loop(lambda s: s < nslabs, zero_body, s_final)
@@ -244,8 +287,12 @@ def _fwd_kernel(
     color_ref[0:1, :, :] = accum[0:1, :, :] + T_fin * params[1]
     color_ref[1:2, :, :] = accum[1:2, :, :] + T_fin * params[2]
     color_ref[2:3, :, :] = accum[2:3, :, :] + T_fin * params[3]
-    depth_ref[:, :] = accum[3, :, :] + T_fin[0] * bg_depth
-    normal_ref[:, :, :] = accum[4:7, :, :]
+    if rich:
+        depth_ref[:, :] = accum[3, :, :] + T_fin[0] * bg_depth
+        normal_ref[:, :, :] = accum[4:7, :, :]
+    else:
+        depth_ref[:, :] = T_fin[0] * bg_depth
+        normal_ref[:, :, :] = jnp.zeros((3, th, tw), jnp.float32)
     finalT_ref[:, :] = T_fin[0]
     ncontrib_ref[:, :] = ncnt[:, :]
 
@@ -253,7 +300,7 @@ def _fwd_kernel(
 def blend_forward(pairs: jax.Array, tile_starts: jax.Array,
                   tile_counts: jax.Array, params: jax.Array,
                   *, image_width: int, image_height: int, tile_h: int,
-                  tile_w: int, interpret: bool = False):
+                  tile_w: int, rich: bool = True, interpret: bool = False):
     """Run the forward blend kernel.
 
     Args:
@@ -273,7 +320,7 @@ def blend_forward(pairs: jax.Array, tile_starts: jax.Array,
 
     kernel = functools.partial(_fwd_kernel, tile_h=tile_h, tile_w=tile_w,
                                grid_w=grid_w, width=image_width,
-                               height=image_height)
+                               height=image_height, rich=rich)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(grid_h, grid_w),
@@ -287,12 +334,12 @@ def blend_forward(pairs: jax.Array, tile_starts: jax.Array,
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((NUM_FIELDS, SLAB), jnp.float32),
-            pltpu.VMEM((2, SLAB), jnp.float32),
+            pltpu.VMEM((2, NUM_FIELDS, SLAB), jnp.float32),
+            pltpu.VMEM((2, 2, SLAB), jnp.float32),
             pltpu.VMEM((8, tile_h, tile_w), jnp.float32),
             pltpu.VMEM((tile_h, tile_w), jnp.int32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out_shapes = [
@@ -329,8 +376,11 @@ def _bwd_kernel(
     # outputs
     pair_grads_hbm,       # (16, MP) HBM — via DMA
     # scratch
-    buf, gstage, carry_ref, in_sem, out_sem,
+    buf,                  # VMEM (2, 16, SLAB) — double-buffered input
+    gstage,               # VMEM (2, 16, SLAB) — output staging slots
+    carry_ref, in_sem, out_sem,
     *, tile_h: int, tile_w: int, grid_w: int, width: int, height: int,
+    rich: bool,
 ):
     th, tw = tile_h, tile_w
     ty = pl.program_id(0)
@@ -354,20 +404,42 @@ def _bwd_kernel(
     # Suffix accumulator A starts with the background term
     # (everything "behind" the last entry): T_final * (bg . g).
     bg_dot = (params[1] * g_col[0:1] + params[2] * g_col[1:2]
-              + params[3] * g_col[2:3] + bg_depth * g_dep)
+              + params[3] * g_col[2:3])
+    if rich:
+        bg_dot = bg_dot + bg_depth * g_dep
     carry_ref[0:1, :, :] = final_T * bg_dot    # A
     carry_ref[1:2, :, :] = final_T             # T_back
 
     e_iota = jax.lax.broadcasted_iota(jnp.int32, (SLAB, 1, 1), 0)
 
+    def in_dma(slot, s):
+        off = pl.multiple_of(start + s * SLAB, SLAB)
+        return pltpu.make_async_copy(
+            pairs_hbm.at[:, pl.ds(off, SLAB)], buf.at[slot], in_sem.at[slot])
+
+    def out_dma(slot, s):
+        off = pl.multiple_of(start + s * SLAB, SLAB)
+        return pltpu.make_async_copy(
+            gstage.at[slot], pair_grads_hbm.at[:, pl.ds(off, SLAB)],
+            out_sem.at[slot])
+
+    def out_dma_wait(slot):
+        pltpu.make_async_copy(gstage.at[slot],
+                              pair_grads_hbm.at[:, pl.ds(0, SLAB)],
+                              out_sem.at[slot]).wait()
+
+    @pl.when(nslabs > 0)
+    def _():
+        in_dma((nslabs - 1) % 2, nslabs - 1).start()
+
     def body(i, _):
         s = nslabs - 1 - i                                     # reverse order
-        off = pl.multiple_of(start + s * SLAB, SLAB)
-        copy_in = pltpu.make_async_copy(
-            pairs_hbm.at[:, pl.ds(off, SLAB)], buf, in_sem)
-        copy_in.start()
-        copy_in.wait()
-        buf_t = buf[:, :].T                                    # (SLAB, 16)
+        slot = s % 2
+        @pl.when(s - 1 >= 0)
+        def _():
+            in_dma((s - 1) % 2, s - 1).start()
+        in_dma(slot, s).wait()
+        buf_t = buf[slot, :, :].T                              # (SLAB, 16)
 
         e = e_iota + s * SLAB                                  # (S, 1, 1)
         in_range = e < npairs
@@ -383,11 +455,13 @@ def _bwd_kernel(
         T_excl = T_back * R
         contrib = alpha * T_excl
 
-        d = _fld(buf_t, 10) + _fld(buf_t, 11) * a1 + _fld(buf_t, 12) * a2
         gdot = (_fld(buf_t, 7) * g_col[0:1] + _fld(buf_t, 8) * g_col[1:2]
-                + _fld(buf_t, 9) * g_col[2:3] + d * g_dep
-                + _fld(buf_t, 13) * g_nrm[0:1] + _fld(buf_t, 14) * g_nrm[1:2]
-                + _fld(buf_t, 15) * g_nrm[2:3])
+                + _fld(buf_t, 9) * g_col[2:3])
+        if rich:
+            d = _fld(buf_t, 10) + _fld(buf_t, 11) * a1 + _fld(buf_t, 12) * a2
+            gdot = (gdot + d * g_dep
+                    + _fld(buf_t, 13) * g_nrm[0:1] + _fld(buf_t, 14) * g_nrm[1:2]
+                    + _fld(buf_t, 15) * g_nrm[2:3])
 
         w = contrib * gdot
         A = carry_ref[0:1, :, :] + _rev_cumsum_excl(w)         # (S, TH, TW)
@@ -396,7 +470,11 @@ def _bwd_kernel(
         not_clamped = alpha_un < ALPHA_MAX
         d_opac = jnp.where(ok & not_clamped, dL_da * expp, 0.0)
         # d(alpha)/d(ecc) = alpha_unclamped * (-gamma) * ecc^(2*gamma - 1)
-        ecc_pow = jnp.exp((2.0 * gamma - 1.0) * jnp.log(eccs))
+        ecc_pow = jax.lax.cond(
+            gamma == 1.0,
+            lambda e: e,
+            lambda e: jnp.exp((2.0 * gamma - 1.0) * jnp.log(e)),
+            eccs)
         dL_decc = jnp.where(ok & not_clamped,
                             dL_da * alpha_un * (-gamma) * ecc_pow, 0.0)
 
@@ -406,33 +484,40 @@ def _bwd_kernel(
         is2 = jnp.logical_and(jnp.logical_not(is1), a2 <= a3)
         is3 = jnp.logical_not(jnp.logical_or(is1, is2))
         d_ecc3 = 3.0 * dL_decc
-        dL_da1 = jnp.where(is1, -d_ecc3, 0.0) + jnp.where(is3, d_ecc3, 0.0) \
-            + contrib * g_dep * _fld(buf_t, 11)
-        dL_da2 = jnp.where(is2, -d_ecc3, 0.0) + jnp.where(is3, d_ecc3, 0.0) \
-            + contrib * g_dep * _fld(buf_t, 12)
+        dL_da1 = jnp.where(is1, -d_ecc3, 0.0) + jnp.where(is3, d_ecc3, 0.0)
+        dL_da2 = jnp.where(is2, -d_ecc3, 0.0) + jnp.where(is3, d_ecc3, 0.0)
+        if rich:
+            dL_da1 = dL_da1 + contrib * g_dep * _fld(buf_t, 11)
+            dL_da2 = dL_da2 + contrib * g_dep * _fld(buf_t, 12)
 
         # Reduce over pixels -> per-pair field gradients.
         def rsum(x):
             # Two-step: multi-axis reduces on 3D vregs are unsupported.
             return jnp.sum(jnp.sum(x, axis=1), axis=1, keepdims=True)  # (S,1)
 
+        zero = jnp.zeros((SLAB, 1), jnp.float32)
+        if rich:
+            rich_cols = [
+                rsum(contrib * g_dep), rsum(contrib * g_dep * a1),
+                rsum(contrib * g_dep * a2),
+                rsum(contrib * g_nrm[0:1]), rsum(contrib * g_nrm[1:2]),
+                rsum(contrib * g_nrm[2:3]),
+            ]
+        else:
+            rich_cols = [zero] * 6
         gmat = jnp.concatenate([
             rsum(dL_da1), rsum(dL_da1 * px), rsum(dL_da1 * py),
             rsum(dL_da2), rsum(dL_da2 * px), rsum(dL_da2 * py),
             rsum(d_opac),
             rsum(contrib * g_col[0:1]), rsum(contrib * g_col[1:2]),
             rsum(contrib * g_col[2:3]),
-            rsum(contrib * g_dep), rsum(contrib * g_dep * a1),
-            rsum(contrib * g_dep * a2),
-            rsum(contrib * g_nrm[0:1]), rsum(contrib * g_nrm[1:2]),
-            rsum(contrib * g_nrm[2:3]),
-        ], axis=1)                                             # (SLAB, 16)
-        gstage[:, :] = gmat.T                                  # (16, SLAB)
+        ] + rich_cols, axis=1)                                 # (SLAB, 16)
 
-        copy_out = pltpu.make_async_copy(
-            gstage, pair_grads_hbm.at[:, pl.ds(off, SLAB)], out_sem)
-        copy_out.start()
-        copy_out.wait()
+        @pl.when(i >= 2)
+        def _():
+            out_dma_wait(slot)
+        gstage[slot, :, :] = gmat.T                            # (16, SLAB)
+        out_dma(slot, s).start()
 
         carry_ref[0:1, :, :] += jnp.sum(w, axis=0, keepdims=True)
         # R[0] = prod of all inv(1-alpha) in the slab => T at slab start.
@@ -441,13 +526,23 @@ def _bwd_kernel(
 
     jax.lax.fori_loop(0, nslabs, body, ())
 
+    # Drain in-flight gradient writes (up to two slots).
+    @pl.when(nslabs >= 2)
+    def _():
+        out_dma_wait(nslabs % 2)
+
+    @pl.when(nslabs >= 1)
+    def _():
+        out_dma_wait((nslabs + 1) % 2)
+
 
 def blend_backward(pairs: jax.Array, tile_starts: jax.Array,
                    tile_counts: jax.Array, params: jax.Array,
                    final_T: jax.Array, n_contrib: jax.Array,
                    g_color: jax.Array, g_depth: jax.Array, g_normal: jax.Array,
                    *, image_width: int, image_height: int, tile_h: int,
-                   tile_w: int, interpret: bool = False) -> jax.Array:
+                   tile_w: int, rich: bool = True,
+                   interpret: bool = False) -> jax.Array:
     """Backward blend: per-pair gradients (16, MP) for the packed fields."""
     grid_w = pl.cdiv(image_width, tile_w)
     grid_h = pl.cdiv(image_height, tile_h)
@@ -462,7 +557,7 @@ def blend_backward(pairs: jax.Array, tile_starts: jax.Array,
 
     kernel = functools.partial(_bwd_kernel, tile_h=tile_h, tile_w=tile_w,
                                grid_w=grid_w, width=image_width,
-                               height=image_height)
+                               height=image_height, rich=rich)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(grid_h, grid_w),
@@ -476,11 +571,11 @@ def blend_backward(pairs: jax.Array, tile_starts: jax.Array,
         ],
         out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         scratch_shapes=[
-            pltpu.VMEM((NUM_FIELDS, SLAB), jnp.float32),
-            pltpu.VMEM((NUM_FIELDS, SLAB), jnp.float32),
+            pltpu.VMEM((2, NUM_FIELDS, SLAB), jnp.float32),
+            pltpu.VMEM((2, NUM_FIELDS, SLAB), jnp.float32),
             pltpu.VMEM((2, tile_h, tile_w), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     (pair_grads,) = pl.pallas_call(

@@ -60,7 +60,7 @@ class RasterSettings:
     tile_h: int = field(metadata=dict(static=True), default=8)
     tile_w: int = field(metadata=dict(static=True), default=128)
     back_culling: bool = field(metadata=dict(static=True), default=False)
-    rich_info: bool = field(metadata=dict(static=True), default=False)
+    rich_info: bool = field(metadata=dict(static=True), default=True)
     max_sh_degree: int = field(metadata=dict(static=True), default=3)
     rasterizer_type: str = field(metadata=dict(static=True), default="2D")
     # Pair budget for tile binning, as a multiple of the triangle count.
@@ -123,7 +123,9 @@ def preprocess_2d(vertex: jnp.ndarray, center2d_offset: jnp.ndarray,
                   rgb: jnp.ndarray, world_view: jnp.ndarray,
                   full_proj: jnp.ndarray, tan_fovx, tan_fovy,
                   settings: RasterSettings,
-                  alive_mask: Optional[jnp.ndarray] = None) -> Preprocessed:
+                  alive_mask: Optional[jnp.ndarray] = None,
+                  opacity: Optional[jnp.ndarray] = None,
+                  gamma=None) -> Preprocessed:
     """Project triangles to screen space (2D linearized variant).
 
     Args:
@@ -131,6 +133,15 @@ def preprocess_2d(vertex: jnp.ndarray, center2d_offset: jnp.ndarray,
         center2d_offset: (P, 2) zeros; receives screen-space centroid grads.
         rgb: (P, 3) per-triangle color (SH already evaluated).
         world_view: (4, 4) world->view; full_proj: (4, 4) world->clip.
+        opacity/gamma: optional — enables the TIGHT bounding box. The
+            reference dilates every bbox by a fixed 3x (src/forward.cu:151),
+            but the exact support of ``alpha >= 1/255`` is
+            ``ecc <= (2 ln(255 o))^(1/(2 gamma))`` (eccentricity grows
+            linearly with dilation about the centroid), which is <= 3.33 and
+            shrinks hard at low opacity or solidified gamma. Pixels outside
+            it are skipped by the alpha cutoff in the blend loop either way,
+            so tightening produces the SAME image with far fewer tile pairs
+            (up to ~9x fewer during gamma=50 solidify).
     """
     W, H = settings.image_width, settings.image_height
     TW, TH = settings.tile_w, settings.tile_h
@@ -202,7 +213,16 @@ def preprocess_2d(vertex: jnp.ndarray, center2d_offset: jnp.ndarray,
     else:
         valid = valid & (jnp.abs(area2) >= EPS)
 
-    dilation = 3.0
+    if opacity is not None and gamma is not None:
+        o = jax.lax.stop_gradient(opacity.reshape(-1))
+        g = jnp.asarray(gamma, jnp.float32)
+        vis = o * 255.0 > 1.0 + 1e-6
+        valid = valid & vis                      # alpha < 1/255 everywhere
+        log_pow = jnp.log(jnp.maximum(2.0 * jnp.log(jnp.maximum(255.0 * o, 1.0 + 1e-6)), 1e-12))
+        dilation = jnp.minimum(3.0, jnp.exp(log_pow / (2.0 * g)))[:, None, None]
+        dilation = jax.lax.stop_gradient(dilation)
+    else:
+        dilation = 3.0
     v_dil = center_2d[:, None, :] + dilation * r_2d                 # (P, 3, 2)
     v_min = v_dil.min(axis=1)
     v_max = v_dil.max(axis=1)

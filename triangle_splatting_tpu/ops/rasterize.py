@@ -38,20 +38,16 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def pack_pair_fields(prep: Preprocessed, opacity: jnp.ndarray,
-                     binning: Binning) -> jnp.ndarray:
-    """Gather per-triangle data into field-major (16, MA) pair rows
-    (differentiable).
+def triangle_field_matrix(prep: Preprocessed, opacity: jnp.ndarray) -> jnp.ndarray:
+    """Per-triangle packed kernel fields (P, 16), differentiable.
 
     The barycentrics are affine in pixel coordinates:
     ``a1 = cross(v2 - pix, v3 - pix) / area2 = f0 + f1*px + f2*py`` — the
-    constant/linear coefficients are precomputed here once per pair, so the
+    constant/linear coefficients are precomputed once per triangle so the
     kernel inner loop is two FMAs per (pair, pixel).
     """
-    t = binning.pair_tri
-    pv = binning.pair_valid
-    v1, v2, v3 = prep.v1_2d[t], prep.v2_2d[t], prep.v3_2d[t]
-    area2 = jnp.where(pv, prep.area2[t], 1.0)
+    v1, v2, v3 = prep.v1_2d, prep.v2_2d, prep.v3_2d
+    area2 = jnp.where(prep.valid, prep.area2, 1.0)
     inv = 1.0 / area2
     f0 = (v2[:, 0] * v3[:, 1] - v2[:, 1] * v3[:, 0]) * inv
     f1 = (v2[:, 1] - v3[:, 1]) * inv
@@ -59,17 +55,26 @@ def pack_pair_fields(prep: Preprocessed, opacity: jnp.ndarray,
     f3 = (v3[:, 0] * v1[:, 1] - v3[:, 1] * v1[:, 0]) * inv
     f4 = (v3[:, 1] - v1[:, 1]) * inv
     f5 = (v1[:, 0] - v3[:, 0]) * inv
-    opac = opacity[t]
-    rgb = prep.rgb[t]
-    vd = prep.v_depth[t]
-    nrm = prep.normal_view[t]
+    rgb, vd, nrm = prep.rgb, prep.v_depth, prep.normal_view
     fields = jnp.stack([
-        f0, f1, f2, f3, f4, f5, opac,
+        f0, f1, f2, f3, f4, f5, opacity,
         rgb[:, 0], rgb[:, 1], rgb[:, 2],
         vd[:, 2], vd[:, 0] - vd[:, 2], vd[:, 1] - vd[:, 2],
         nrm[:, 0], nrm[:, 1], nrm[:, 2],
-    ], axis=0)                                               # (16, MA)
-    return jnp.where(pv[None, :], fields, 0.0)
+    ], axis=1)                                               # (P, 16)
+    return jnp.where(prep.valid[:, None], fields, 0.0)
+
+
+def pack_pair_fields(field_matrix: jnp.ndarray, binning: Binning) -> jnp.ndarray:
+    """ONE gather of the per-triangle field matrix into sorted pair order.
+
+    TPU gathers cost ~10ms/M rows regardless of row width, so packing does a
+    single (MA, 16) gather instead of 17 per-column gathers (~5x cheaper);
+    its AD transpose is likewise a single scatter-add.
+    """
+    rows = field_matrix[jnp.maximum(binning.pair_tri, 0)]    # (MA, 16)
+    rows = jnp.where(binning.pair_valid[:, None], rows, 0.0)
+    return rows.T                                            # (16, MA)
 
 
 # ---------------------------------------------------------------------------
@@ -78,10 +83,11 @@ def pack_pair_fields(prep: Preprocessed, opacity: jnp.ndarray,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _blend(fields, tile_starts, tile_counts, params, static_cfg):
-    width, height, tile_h, tile_w, interpret = static_cfg
+    width, height, tile_h, tile_w, rich, interpret = static_cfg
     return blend_forward(fields, tile_starts, tile_counts, params,
                          image_width=width, image_height=height,
-                         tile_h=tile_h, tile_w=tile_w, interpret=interpret)
+                         tile_h=tile_h, tile_w=tile_w, rich=rich,
+                         interpret=interpret)
 
 
 def _blend_fwd(fields, tile_starts, tile_counts, params, static_cfg):
@@ -91,14 +97,14 @@ def _blend_fwd(fields, tile_starts, tile_counts, params, static_cfg):
 
 
 def _blend_bwd(static_cfg, res, cts):
-    width, height, tile_h, tile_w, interpret = static_cfg
+    width, height, tile_h, tile_w, rich, interpret = static_cfg
     fields, tile_starts, tile_counts, params, final_T, n_contrib = res
     g_color, g_depth, g_normal, _g_T, _g_nc, _g_pc = cts
     pair_grads = blend_backward(
         fields, tile_starts, tile_counts, params, final_T, n_contrib,
         g_color, g_depth, g_normal,
         image_width=width, image_height=height, tile_h=tile_h, tile_w=tile_w,
-        interpret=interpret)
+        rich=rich, interpret=interpret)
     zero_starts = np.zeros(tile_starts.shape, jax.dtypes.float0)
     zero_counts = np.zeros(tile_counts.shape, jax.dtypes.float0)
     return pair_grads, zero_starts, zero_counts, jnp.zeros_like(params)
@@ -144,13 +150,14 @@ def rasterize(vertex: jnp.ndarray, opacity: jnp.ndarray,
         rgb = sh_mod.eval_sh(shs, center, camera.camera_center,
                              active_sh_degree, settings.max_sh_degree)
 
+    opac1 = opacity[..., 0] if opacity.ndim == 2 else opacity
     prep = preprocess_2d(vertex, center2d_offset, rgb, camera.world_view,
                          camera.full_proj, camera.tan_fovx, camera.tan_fovy,
-                         settings, alive_mask=alive_mask)
+                         settings, alive_mask=alive_mask,
+                         opacity=opac1, gamma=gamma)
 
     if impl == "oracle":
-        out = blend_oracle(prep, opacity[..., 0] if opacity.ndim == 2 else opacity,
-                           gamma, background, bg_depth, settings)
+        out = blend_oracle(prep, opac1, gamma, background, bg_depth, settings)
         return dict(render=out.color, depth=out.depth, normal=out.normal,
                     radii=prep.radii, visible_mask=prep.radii > 0,
                     contrib_sum=out.contrib_sum, contrib_max=out.contrib_max,
@@ -168,13 +175,13 @@ def rasterize(vertex: jnp.ndarray, opacity: jnp.ndarray,
     prep_ng = jax.tree_util.tree_map(jax.lax.stop_gradient, prep)
     binning = bin_triangles(prep_ng, settings, max_pairs, align=SLAB)
 
-    opac1 = opacity[..., 0] if opacity.ndim == 2 else opacity
-    fields = pack_pair_fields(prep, opac1, binning)
+    fields = pack_pair_fields(triangle_field_matrix(prep, opac1), binning)
     params = jnp.concatenate([gamma[None], background,
                               bg_depth[None], jnp.zeros(3, jnp.float32)])
 
     static_cfg = (settings.image_width, settings.image_height,
-                  settings.tile_h, settings.tile_w, interpret)
+                  settings.tile_h, settings.tile_w, settings.rich_info,
+                  interpret)
     color, depth, normal, final_T, n_contrib, pair_contrib = _blend(
         fields, binning.tile_starts, binning.tile_counts, params, static_cfg)
 
