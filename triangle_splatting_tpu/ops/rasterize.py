@@ -56,11 +56,14 @@ def triangle_field_matrix(prep: Preprocessed, opacity: jnp.ndarray) -> jnp.ndarr
     f4 = (v3[:, 1] - v1[:, 1]) * inv
     f5 = (v1[:, 0] - v3[:, 0]) * inv
     rgb, vd, nrm = prep.rgb, prep.v_depth, prep.normal_view
+    # Field order groups the rows the kernel feeds to one MXU accumulation
+    # matmul (r,g,b,d0,nx,ny,nz contiguous): see pallas/blend.py header.
     fields = jnp.stack([
         f0, f1, f2, f3, f4, f5, opacity,
         rgb[:, 0], rgb[:, 1], rgb[:, 2],
-        vd[:, 2], vd[:, 0] - vd[:, 2], vd[:, 1] - vd[:, 2],
+        vd[:, 2],                                  # d0
         nrm[:, 0], nrm[:, 1], nrm[:, 2],
+        vd[:, 0] - vd[:, 2], vd[:, 1] - vd[:, 2],  # d1, d2
     ], axis=1)                                               # (P, 16)
     return jnp.where(prep.valid[:, None], fields, 0.0)
 
