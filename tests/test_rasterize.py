@@ -93,7 +93,10 @@ class TestBackwardParity:
         for name, go, gp in zip(["vertex", "opacity", "rgb", "center2d"], g_o, g_p):
             ref = max(float(jnp.abs(go).max()), 1e-12)
             rel = float(jnp.abs(go - gp).max()) / ref
-            assert rel < 2e-3, (name, rel)
+            # 5e-3: the backward reduction matmul intentionally runs in bf16
+            # (one MXU pass); ~1e-3..1e-2 relative gradient error, validated
+            # to leave end-to-end convergence unchanged.
+            assert rel < 5e-3, (name, rel)
             assert np.isfinite(np.asarray(gp)).all(), name
         # gradients actually flow
         assert float(jnp.abs(g_p[0]).max()) > 0
