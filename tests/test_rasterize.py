@@ -100,3 +100,83 @@ class TestBackwardParity:
             assert np.isfinite(np.asarray(gp)).all(), name
         # gradients actually flow
         assert float(jnp.abs(g_p[0]).max()) > 0
+
+
+class Test3DVariant:
+    SETTINGS3 = RasterSettings(image_width=64, image_height=64,
+                               rasterizer_type="3D")
+
+    def render3(self, scene, impl, gamma=1.0, **kw):
+        return rasterize(jnp.asarray(scene["vertex"]),
+                         jnp.asarray(scene["opacity"]), None, CAM,
+                         self.SETTINGS3, gamma=gamma,
+                         background=jnp.ones(3), bg_depth=10.0,
+                         colors=jnp.asarray(scene["rgb"]),
+                         impl=impl, interpret=True, **kw)
+
+    @pytest.mark.parametrize("gamma", [1.0, 3.7])
+    def test_forward_matches_3d_oracle(self, gamma):
+        """The kernel's rational-affine reformulation vs the direct
+        ray-plane-intersection oracle (independent derivations)."""
+        scene = make_random_scene(150, seed=0)
+        o = self.render3(scene, "oracle", gamma)
+        p = self.render3(scene, "pallas", gamma)
+        np.testing.assert_allclose(np.asarray(p["render"]),
+                                   np.asarray(o["render"]), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(p["final_T"]),
+                                   np.asarray(o["final_T"]), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(p["depth"]),
+                                   np.asarray(o["depth"]), atol=5e-2)
+        np.testing.assert_allclose(np.asarray(p["normal"]),
+                                   np.asarray(o["normal"]),
+                                   atol=2e-3 * max(1, float(jnp.abs(o["normal"]).max())))
+
+    def test_n_contrib_exact_3d(self):
+        scene = make_random_scene(150, seed=1, opacity_range=(0.8, 0.95),
+                                  z_range=(3.0, 3.5))
+        o = self.render3(scene, "oracle")
+        p = self.render3(scene, "pallas")
+        assert int(jnp.abs(o["n_contrib"] - p["n_contrib"]).max()) == 0
+
+    def test_backward_matches_3d_oracle_ad(self):
+        P = 120
+        scene = make_random_scene(P, seed=4)
+        target = jnp.asarray(
+            np.random.default_rng(7).uniform(size=(3, 64, 64)), jnp.float32)
+
+        def loss_fn(vertex, opacity, rgb, c2d, impl):
+            out = rasterize(vertex, opacity, None, CAM, self.SETTINGS3,
+                            gamma=1.7, background=jnp.ones(3), bg_depth=10.0,
+                            colors=rgb, center2d_offset=c2d, impl=impl,
+                            interpret=True)
+            return (jnp.abs(out["render"] - target).mean()
+                    + 0.01 * out["depth"].mean()
+                    + 1e-4 * (out["normal"] ** 2).mean())
+
+        args = (jnp.asarray(scene["vertex"]), jnp.asarray(scene["opacity"]),
+                jnp.asarray(scene["rgb"]), jnp.zeros((P, 2)))
+        g_o = jax.grad(loss_fn, argnums=(0, 1, 2, 3))(*args, "oracle")
+        g_p = jax.grad(loss_fn, argnums=(0, 1, 2, 3))(*args, "pallas")
+        for name, go, gp in zip(["vertex", "opacity", "rgb", "center2d"],
+                                g_o, g_p):
+            ref = max(float(jnp.abs(go).max()), 1e-12)
+            rel = float(jnp.abs(go - gp).max()) / ref
+            assert rel < 1e-2, (name, rel)
+            assert np.isfinite(np.asarray(gp)).all(), name
+        assert float(jnp.abs(g_p[0]).max()) > 0
+
+    def test_back_culling_3d(self):
+        v = np.array([[[0, 0.3, 5], [0.3, -0.3, 5], [-0.3, -0.3, 5]]], np.float32)
+        scene = dict(vertex=v, opacity=np.array([0.9], np.float32),
+                     rgb=np.array([[1.0, 0.0, 0.0]], np.float32))
+        s_bc = RasterSettings(image_width=64, image_height=64,
+                              rasterizer_type="3D", back_culling=True)
+        front = rasterize(jnp.asarray(v), jnp.asarray(scene["opacity"]), None,
+                          CAM, s_bc, background=jnp.zeros(3),
+                          colors=jnp.asarray(scene["rgb"]), interpret=True)
+        back = rasterize(jnp.asarray(v[:, ::-1]), jnp.asarray(scene["opacity"]),
+                         None, CAM, s_bc, background=jnp.zeros(3),
+                         colors=jnp.asarray(scene["rgb"]), interpret=True)
+        vis_f = float(front["render"].max())
+        vis_b = float(back["render"].max())
+        assert (vis_f > 0.1) != (vis_b > 0.1)

@@ -149,3 +149,43 @@ class TestTrainerE2E:
         t3 = VanillaTSTrainer(cfg, impl="oracle", log_file=False)
         t3.loadPLY(tmp_path / "out/point_cloud/60.ply")
         assert int(t3.state.alive.sum()) == int(trainer.state.alive.sum())
+
+
+class TestMeshTrainerE2E:
+    def test_solidify_pipeline(self, synthetic_dataset, tmp_path):
+        """Mesh-config path: 3D rasterizer, STE opacity, gamma anneal,
+        opacity/scale ADC, GLB export (NerfSynthetic_VanillaTS_mesh shape)."""
+        from triangle_splatting_tpu.trainers.vanilla_ts import VanillaTSTrainer
+        cfg = make_config(synthetic_dataset, tmp_path / "out", iters=40)
+        cfg.model.rasterizer_type = "3D"
+        cfg.model.ste_threshold = 0.3
+        cfg.model.gamma_rescale = True
+        cfg.model.max_sh_degree = 0
+        cfg.model.sampling.init_opacity = 0.5
+        from triangle_splatting_tpu.utils.config import dict_to_config
+        cfg.model.model_update = dict_to_config({
+            "statistic": {"start_iter": 0, "end_iter": 40},
+            "gamma_schedule": {"start_iter": 10, "end_iter": 30,
+                               "gamma_init": 1.0, "gamma_final": 50.0},
+            "opacity_pruning": {"start_iter": 5, "end_iter": 40,
+                                "hold_iter": 40, "interval_iter": 20,
+                                "opacity_threshold_init": 0.01,
+                                "opacity_threshold_final": 0.05},
+            "scale_clipping": {"start_iter": 5, "end_iter": 40,
+                               "hold_iter": 40, "interval_iter": 20,
+                               "scale_max_init": 2.0, "scale_max_final": 1.0},
+        })
+        cfg.trainer.save_glb_iterations = [40]
+        cfg.trainer.w_opacity_reg = dict_to_config(
+            {"quad_reg": 0.01, "linear_reg": 0.01,
+             "quad_start_iter": 5, "linear_start_iter": 25})
+        trainer = VanillaTSTrainer(cfg, impl="oracle", log_file=False)
+        trainer.train()
+        assert float(trainer.state.gamma) > 10.0       # anneal advanced
+        glb = tmp_path / "out/glb/40.glb"
+        assert glb.exists()
+        from triangle_splatting_tpu.models.raw_triangle import RawTriangle
+        raw = RawTriangle(glb_path=glb)
+        assert len(raw) > 0
+        # STE export forces opacity logits to 10 (opaque mesh)
+        assert np.allclose(raw.opacity, 10.0, atol=0.2)

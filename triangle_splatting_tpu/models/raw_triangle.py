@@ -25,10 +25,14 @@ class RawTriangle:
                  ply_path: str | None = None, glb_path: str | None = None):
         self.vertex = np.zeros((0, 3, 3), np.float32) if vertex is None else np.asarray(vertex, np.float32)
         n = self.vertex.shape[0]
-        self.opacity = (np.zeros((n, 1), np.float32) if opacity is None
-                        else np.asarray(opacity, np.float32).reshape(n, -1))
-        self.shs = (np.zeros((n, 3), np.float32) if shs is None
-                    else np.asarray(shs, np.float32).reshape(n, -1))
+        if opacity is None or n == 0:
+            self.opacity = np.zeros((n, 1), np.float32)
+        else:
+            self.opacity = np.asarray(opacity, np.float32).reshape(n, -1)
+        if shs is None or n == 0:
+            self.shs = np.zeros((n, 3), np.float32)
+        else:
+            self.shs = np.asarray(shs, np.float32).reshape(n, -1)
         if ply_path is not None:
             self.loadPLY(ply_path)
         if glb_path is not None:

@@ -31,15 +31,30 @@ is exactly the prefix of entries the reference processes, and
 ``n_contrib = sum(alive)`` matches the reference's ``last_contributor``.
 
 Field packing (built in ops/rasterize.py, differentiable), field-major
-(16, MP); rows 7..13 are ONE contiguous accumulation matmul group:
-  idx  field
-  0..2 a1 = f0 + f1*px + f2*py   (barycentric 1, area-normalized affine)
+(16, MP).
+
+variant "2D" (linearized, diff-triangle-rasterization-2D) — barycentrics
+are affine in pixel coordinates:
+  0..2 a1 = f0 + f1*px + f2*py
   3..5 a2 = f3 + f4*px + f5*py
   6    opacity
   7..9 rgb
   10   d0   (view depth = d0 + d1*a1 + d2*a2)
   11..13 view normal
   14..15 d1, d2
+
+variant "3D" (perspective-correct, diff-triangle-rasterization-3D) — the
+ray-plane intersection reduces to RATIOS of three affine forms: with the
+pixel ray r = (tfx*(2px-W+1)/W, tfy*(2py-H+1)/H, 1),
+  D  = r . n            (plane normal; fields 0..2 as affine coeffs)
+  a1 = (r . u1) / D     (u1 = (C23*n - k*(n x (v2-v3))) / n.n; fields 3..5)
+  a2 = (r . u2) / D     (fields 6..8)
+  9    opacity
+  10..12 rgb
+  13   K = v1 . n       (ray depth t = K / D)
+  14..15 unused
+and the raw normal is recovered FROM the D coefficients (n_x = f1*sx,
+n_y = f2*sy, n_z = f0 - f1*cW - f2*cH), so no extra fields are needed.
 Backward emits gradients w.r.t. the same 16 fields per pair.
 """
 
@@ -88,29 +103,46 @@ def _fld(buf_t, k):
     return buf_t[:, k:k + 1]
 
 
-def _alpha_terms(buf_t, px, py, gamma, in_range):
-    """Shared recompute: barycentrics -> masked alpha. Shapes (S, NPIX)."""
-    a1 = _fld(buf_t, 0) + _fld(buf_t, 1) * px + _fld(buf_t, 2) * py
-    a2 = _fld(buf_t, 3) + _fld(buf_t, 4) * px + _fld(buf_t, 5) * py
+def _alpha_terms(buf_t, px, py, gamma, in_range, variant="2D"):
+    """Shared recompute: barycentrics -> masked alpha. Shapes (S, NPIX).
+
+    Returns (..., invD): the reciprocal plane denominator for "3D", None
+    for "2D".
+    """
+    if variant == "2D":
+        a1 = _fld(buf_t, 0) + _fld(buf_t, 1) * px + _fld(buf_t, 2) * py
+        a2 = _fld(buf_t, 3) + _fld(buf_t, 4) * px + _fld(buf_t, 5) * py
+        invD = None
+        ok0 = in_range
+    else:
+        D = _fld(buf_t, 0) + _fld(buf_t, 1) * px + _fld(buf_t, 2) * py
+        okD = jnp.abs(D) >= 1e-8       # |ray . n| guard (3D/forward.cu:246)
+        invD = 1.0 / jnp.where(okD, D, 1.0)
+        a1 = (_fld(buf_t, 3) + _fld(buf_t, 4) * px + _fld(buf_t, 5) * py) * invD
+        a2 = (_fld(buf_t, 6) + _fld(buf_t, 7) * px + _fld(buf_t, 8) * py) * invD
+        ok0 = in_range & okD
     a3 = 1.0 - a1 - a2
     mn = jnp.minimum(jnp.minimum(a1, a2), a3)
     ecc = 1.0 - 3.0 * mn
-    ok = (ecc >= 0.0) & (ecc <= ECC_MAX) & in_range
+    ok = (ecc >= 0.0) & (ecc <= ECC_MAX) & ok0
     eccs = jnp.clip(ecc, 0.0, ECC_MAX)
     # ecc ** (2*gamma); photo configs train at gamma == 1 for the whole run,
     # so branch to a transcendental-free square (exp/log only during the
     # solidify anneal).
+    # Exponent clipped in log space: ecc^(2*gamma) overflows f32 beyond
+    # gamma ~ 34 at ecc ~ 10 (alphas are invisible long before powed = 44).
     powed = jax.lax.cond(
         gamma == 1.0,
         lambda e: e * e,
-        lambda e: jnp.exp((2.0 * gamma) * jnp.log(e)),
+        lambda e: jnp.exp(jnp.clip((2.0 * gamma) * jnp.log(e), -87.0, 44.0)),
         eccs)
     expp = jnp.exp(-0.5 * powed)
-    alpha_un = _fld(buf_t, 6) * expp
+    opac_idx = 6 if variant == "2D" else 9
+    alpha_un = _fld(buf_t, opac_idx) * expp
     alpha = jnp.minimum(ALPHA_MAX, alpha_un)
     ok = ok & (alpha >= ALPHA_MIN)
     alpha = jnp.where(ok, alpha, 0.0)
-    return a1, a2, a3, eccs, expp, alpha_un, alpha, ok
+    return a1, a2, a3, eccs, expp, alpha_un, alpha, ok, invD
 
 
 def _pixel_coords(tile_x, tile_y, th, tw):
@@ -153,7 +185,7 @@ def _fwd_kernel(
     in_sem,               # DMA (2,)
     out_sem,              # DMA (2,)
     *, tile_h: int, tile_w: int, grid_w: int, width: int, height: int,
-    rich: bool,
+    rich: bool, variant: str,
 ):
     th, tw = tile_h, tile_w
     npix = th * tw
@@ -166,6 +198,8 @@ def _fwd_kernel(
 
     gamma = params[0]
     bg_depth = params[4]
+    sx, sy = params[5], params[6]      # 3D normal reconstruction scales
+    cW, cH = (1.0 - width) / 2.0, (1.0 - height) / 2.0
 
     px, py = _pixel_coords(tx, ty, th, tw)
     inside = (px < width) & (py < height)
@@ -208,8 +242,8 @@ def _fwd_kernel(
         buf_t = buf[slot, :, :].T                               # (SLAB, 16)
 
         in_range = (e_iota + s * SLAB) < npairs                 # (S, 1)
-        a1, a2, a3, eccs, expp, alpha_un, alpha, ok = _alpha_terms(
-            buf_t, px, py, gamma, in_range)
+        a1, a2, a3, eccs, expp, alpha_un, alpha, ok, invD = _alpha_terms(
+            buf_t, px, py, gamma, in_range, variant)
 
         one_m = 1.0 - alpha
         # Prefix transmittance in log space on the MXU: exp(L @ log(1-a)).
@@ -220,13 +254,24 @@ def _fwd_kernel(
         alive = T_excl > T_EPS
         contrib = jnp.where(alive, alpha * T_excl, 0.0)         # (S, NPIX)
 
-        if rich:
-            # rows 7..13 = r,g,b,d0,nx,ny,nz — one accumulation matmul.
-            accum[0:7, :] += jnp.dot(buf[slot, 7:14, :], contrib, **_MM)
-            accum[3:4, :] += (jnp.dot(buf[slot, 14:15, :], contrib * a1, **_MM)
-                              + jnp.dot(buf[slot, 15:16, :], contrib * a2, **_MM))
+        if variant == "2D":
+            if rich:
+                # rows 7..13 = r,g,b,d0,nx,ny,nz — one accumulation matmul.
+                accum[0:7, :] += jnp.dot(buf[slot, 7:14, :], contrib, **_MM)
+                accum[3:4, :] += (jnp.dot(buf[slot, 14:15, :], contrib * a1, **_MM)
+                                  + jnp.dot(buf[slot, 15:16, :], contrib * a2, **_MM))
+            else:
+                accum[0:3, :] += jnp.dot(buf[slot, 7:10, :], contrib, **_MM)
         else:
-            accum[0:3, :] += jnp.dot(buf[slot, 7:10, :], contrib, **_MM)
+            accum[0:3, :] += jnp.dot(buf[slot, 10:13, :], contrib, **_MM)
+            if rich:
+                # ray depth t = K / D
+                accum[3:4, :] += jnp.dot(buf[slot, 13:14, :], contrib * invD, **_MM)
+                # raw normal from the D coefficients
+                N = jnp.dot(buf[slot, 0:3, :], contrib, **_MM)  # (3, NPIX)
+                accum[4:5, :] += sx * N[1:2, :]
+                accum[5:6, :] += sy * N[2:3, :]
+                accum[6:7, :] += N[0:1, :] - cW * N[1:2, :] - cH * N[2:3, :]
         ncnt[:, :] += jnp.sum((alive & in_range).astype(jnp.int32), axis=0,
                               keepdims=True)
 
@@ -293,7 +338,8 @@ def _fwd_kernel(
 def blend_forward(pairs: jax.Array, tile_starts: jax.Array,
                   tile_counts: jax.Array, params: jax.Array,
                   *, image_width: int, image_height: int, tile_h: int,
-                  tile_w: int, rich: bool = True, interpret: bool = False):
+                  tile_w: int, rich: bool = True, variant: str = "2D",
+                  interpret: bool = False):
     """Run the forward blend kernel.
 
     Args:
@@ -314,7 +360,8 @@ def blend_forward(pairs: jax.Array, tile_starts: jax.Array,
 
     kernel = functools.partial(_fwd_kernel, tile_h=tile_h, tile_w=tile_w,
                                grid_w=grid_w, width=image_width,
-                               height=image_height, rich=rich)
+                               height=image_height, rich=rich,
+                               variant=variant)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(grid_h, grid_w),
@@ -375,7 +422,7 @@ def _bwd_kernel(
     carry_ref,            # VMEM (2, NPIX)
     in_sem, out_sem,
     *, tile_h: int, tile_w: int, grid_w: int, width: int, height: int,
-    rich: bool,
+    rich: bool, variant: str,
 ):
     th, tw = tile_h, tile_w
     npix = th * tw
@@ -388,6 +435,8 @@ def _bwd_kernel(
 
     gamma = params[0]
     bg_depth = params[4]
+    sx, sy = params[5], params[6]
+    cW, cH = (1.0 - width) / 2.0, (1.0 - height) / 2.0
 
     px, py = _pixel_coords(tx, ty, th, tw)
 
@@ -397,10 +446,19 @@ def _bwd_kernel(
     final_T = finalT_ref[:, :].reshape(1, npix)
     n_contrib = ncontrib_ref[:, :].reshape(1, npix)
 
-    # Right-hand side matrix for the per-pair gradient matmuls:
-    # rows: [1, px, py, g_r, g_g, g_b, g_dep, g_nx, g_ny, g_nz] -> (10, NPIX).
+    # Right-hand side matrix for the per-pair gradient matmuls.
+    # 2D rows: [1, px, py, g_r, g_g, g_b, g_dep, g_nx, g_ny, g_nz].
+    # 3D rows: [1, px, py, g_r, g_g, g_b, gn0, gn1, gn2, g_dep] where gn*
+    # fold the normal reconstruction n = (sx f1, sy f2, f0 - cW f1 - cH f2).
     ones_row = jnp.ones((1, npix), jnp.float32)
-    R = jnp.concatenate([ones_row, px, py, g_col, g_dep, g_nrm], axis=0)
+    if variant == "2D":
+        R = jnp.concatenate([ones_row, px, py, g_col, g_dep, g_nrm], axis=0)
+    else:
+        gn0 = g_nrm[2:3]
+        gn1 = sx * g_nrm[0:1] - cW * g_nrm[2:3]
+        gn2 = sy * g_nrm[1:2] - cH * g_nrm[2:3]
+        R = jnp.concatenate([ones_row, px, py, g_col, gn0, gn1, gn2, g_dep],
+                            axis=0)
 
     # Suffix accumulator A starts with the background term
     # (everything "behind" the last entry): T_final * (bg . g).
@@ -459,8 +517,8 @@ def _bwd_kernel(
             buf_t = buf2d.T                                    # (SLAB, 16)
             e = e_iota + s * SLAB                              # (S, 1)
             in_range = e < npairs
-            a1, a2, a3, eccs, expp, alpha_un, alpha, ok = _alpha_terms(
-                buf_t, px, py, gamma, in_range)
+            a1, a2, a3, eccs, expp, alpha_un, alpha, ok, invD = _alpha_terms(
+                buf_t, px, py, gamma, in_range, variant)
             processed = e < n_contrib                          # (S, NPIX)
             alpha = jnp.where(processed, alpha, 0.0)
             ok = ok & processed
@@ -474,14 +532,25 @@ def _bwd_kernel(
             T_excl = T_back * R_rev
             contrib = alpha * T_excl
 
-            gdot = (_fld(buf_t, 7) * g_col[0:1] + _fld(buf_t, 8) * g_col[1:2]
-                    + _fld(buf_t, 9) * g_col[2:3])
-            if rich:
-                d = _fld(buf_t, 10) + _fld(buf_t, 14) * a1 + _fld(buf_t, 15) * a2
-                gdot = (gdot + d * g_dep
-                        + _fld(buf_t, 11) * g_nrm[0:1]
-                        + _fld(buf_t, 12) * g_nrm[1:2]
-                        + _fld(buf_t, 13) * g_nrm[2:3])
+            if variant == "2D":
+                gdot = (_fld(buf_t, 7) * g_col[0:1] + _fld(buf_t, 8) * g_col[1:2]
+                        + _fld(buf_t, 9) * g_col[2:3])
+                if rich:
+                    d = (_fld(buf_t, 10) + _fld(buf_t, 14) * a1
+                         + _fld(buf_t, 15) * a2)
+                    gdot = (gdot + d * g_dep
+                            + _fld(buf_t, 11) * g_nrm[0:1]
+                            + _fld(buf_t, 12) * g_nrm[1:2]
+                            + _fld(buf_t, 13) * g_nrm[2:3])
+            else:
+                gdot = (_fld(buf_t, 10) * g_col[0:1] + _fld(buf_t, 11) * g_col[1:2]
+                        + _fld(buf_t, 12) * g_col[2:3])
+                if rich:
+                    t = _fld(buf_t, 13) * invD            # ray depth K/D
+                    # n . g_nrm via the composite per-pixel rows gn0..gn2
+                    gdot = (gdot + t * g_dep
+                            + _fld(buf_t, 0) * R[6:7] + _fld(buf_t, 1) * R[7:8]
+                            + _fld(buf_t, 2) * R[8:9])
 
             w = contrib * gdot
             # Suffix sum over later entries via strict-upper MXU matmul.
@@ -495,7 +564,8 @@ def _bwd_kernel(
             ecc_pow = jax.lax.cond(
                 gamma == 1.0,
                 lambda e_: e_,
-                lambda e_: jnp.exp((2.0 * gamma - 1.0) * jnp.log(e_)),
+                lambda e_: jnp.exp(jnp.clip((2.0 * gamma - 1.0) * jnp.log(e_),
+                                            -87.0, 44.0)),
                 eccs)
             dL_decc = jnp.where(ok & not_clamped,
                                 dL_da * alpha_un * (-gamma) * ecc_pow, 0.0)
@@ -508,41 +578,74 @@ def _bwd_kernel(
             d_ecc3 = 3.0 * dL_decc
             dL_da1 = jnp.where(is1, -d_ecc3, 0.0) + jnp.where(is3, d_ecc3, 0.0)
             dL_da2 = jnp.where(is2, -d_ecc3, 0.0) + jnp.where(is3, d_ecc3, 0.0)
-            if rich:
+            if variant == "2D" and rich:
                 cgd = contrib * g_dep
                 dL_da1 = dL_da1 + cgd * _fld(buf_t, 14)
                 dL_da2 = dL_da2 + cgd * _fld(buf_t, 15)
 
             # Per-pair field gradients via MXU: one stacked matmul against
-            # R = [1, px, py, g_rgb, g_dep, g_nrm] (10, NPIX).
+            # R (10, NPIX). Runs in bf16 (one MXU pass instead of six);
+            # ~1e-4 relative error on pixel-summed gradients — far below
+            # training noise.
             GOP = _row_sum(d_opac)                             # (S, 1)
-            # The reduction matmul has a tiny N (10 -> padded 128); running
-            # it in bf16 (one MXU pass instead of six) costs ~1e-4 relative
-            # error on pixel-summed gradients — far below training noise.
-            if rich:
-                lefts = jnp.concatenate(
-                    [dL_da1, dL_da2, contrib, contrib * a1, contrib * a2],
-                    axis=0).astype(jnp.bfloat16)               # (5S, NPIX)
-                G = jnp.dot(lefts, R.T.astype(jnp.bfloat16),
-                            preferred_element_type=jnp.float32)  # (5S, 10)
-                GA1 = G[0 * SLAB:1 * SLAB, 0:3]
-                GA2 = G[1 * SLAB:2 * SLAB, 0:3]
-                GC = G[2 * SLAB:3 * SLAB, 3:10]
-                GD1 = G[3 * SLAB:4 * SLAB, 6:7]
-                GD2 = G[4 * SLAB:5 * SLAB, 6:7]
-                # field order: rgb(3), d0, nx, ny, nz, d1, d2
-                gmat = jnp.concatenate(
-                    [GA1, GA2, GOP, GC, GD1, GD2], axis=1)     # (S, 16)
+            zero1 = jnp.zeros((SLAB, 1), jnp.float32)
+            if variant == "2D":
+                if rich:
+                    lefts = jnp.concatenate(
+                        [dL_da1, dL_da2, contrib, contrib * a1, contrib * a2],
+                        axis=0).astype(jnp.bfloat16)           # (5S, NPIX)
+                    G = jnp.dot(lefts, R.T.astype(jnp.bfloat16),
+                                preferred_element_type=jnp.float32)  # (5S, 10)
+                    GA1 = G[0 * SLAB:1 * SLAB, 0:3]
+                    GA2 = G[1 * SLAB:2 * SLAB, 0:3]
+                    GC = G[2 * SLAB:3 * SLAB, 3:10]
+                    GD1 = G[3 * SLAB:4 * SLAB, 6:7]
+                    GD2 = G[4 * SLAB:5 * SLAB, 6:7]
+                    # field order: rgb(3), d0, nx, ny, nz, d1, d2
+                    gmat = jnp.concatenate(
+                        [GA1, GA2, GOP, GC, GD1, GD2], axis=1)  # (S, 16)
+                else:
+                    lefts = jnp.concatenate([dL_da1, dL_da2, contrib],
+                                            axis=0).astype(jnp.bfloat16)
+                    G = jnp.dot(lefts, R[0:6].T.astype(jnp.bfloat16),
+                                preferred_element_type=jnp.float32)  # (3S, 6)
+                    GA1 = G[0 * SLAB:1 * SLAB, 0:3]
+                    GA2 = G[1 * SLAB:2 * SLAB, 0:3]
+                    GC = G[2 * SLAB:3 * SLAB, 3:6]
+                    zero = jnp.zeros((SLAB, 6), jnp.float32)
+                    gmat = jnp.concatenate([GA1, GA2, GOP, GC, zero], axis=1)
             else:
-                lefts = jnp.concatenate([dL_da1, dL_da2, contrib],
-                                        axis=0).astype(jnp.bfloat16)
-                G = jnp.dot(lefts, R[0:6].T.astype(jnp.bfloat16),
-                            preferred_element_type=jnp.float32)  # (3S, 6)
-                GA1 = G[0 * SLAB:1 * SLAB, 0:3]
-                GA2 = G[1 * SLAB:2 * SLAB, 0:3]
-                GC = G[2 * SLAB:3 * SLAB, 3:6]
-                zero = jnp.zeros((SLAB, 6), jnp.float32)
-                gmat = jnp.concatenate([GA1, GA2, GOP, GC, zero], axis=1)
+                # a_i = A_i/D, t = K/D: chain through the quotient.
+                dA1p = dL_da1 * invD
+                dA2p = dL_da2 * invD
+                dD = -(dL_da1 * a1 + dL_da2 * a2) * invD
+                if rich:
+                    t = _fld(buf_t, 13) * invD
+                    dD = dD - g_dep * contrib * t * invD
+                    lefts = jnp.concatenate(
+                        [dD, dA1p, dA2p, contrib, contrib * invD],
+                        axis=0).astype(jnp.bfloat16)           # (5S, NPIX)
+                    G = jnp.dot(lefts, R.T.astype(jnp.bfloat16),
+                                preferred_element_type=jnp.float32)  # (5S, 10)
+                    # D coeffs also receive the raw-normal accumulation grads
+                    GD = G[0 * SLAB:1 * SLAB, 0:3] + G[3 * SLAB:4 * SLAB, 6:9]
+                    GA1 = G[1 * SLAB:2 * SLAB, 0:3]
+                    GA2 = G[2 * SLAB:3 * SLAB, 0:3]
+                    GC = G[3 * SLAB:4 * SLAB, 3:6]             # rgb
+                    GK = G[4 * SLAB:5 * SLAB, 9:10]            # via t = K/D
+                    gmat = jnp.concatenate(
+                        [GD, GA1, GA2, GOP, GC, GK, zero1, zero1], axis=1)
+                else:
+                    lefts = jnp.concatenate([dD, dA1p, dA2p, contrib],
+                                            axis=0).astype(jnp.bfloat16)
+                    G = jnp.dot(lefts, R[0:6].T.astype(jnp.bfloat16),
+                                preferred_element_type=jnp.float32)  # (4S, 6)
+                    GD = G[0 * SLAB:1 * SLAB, 0:3]
+                    GA1 = G[1 * SLAB:2 * SLAB, 0:3]
+                    GA2 = G[2 * SLAB:3 * SLAB, 0:3]
+                    GC = G[3 * SLAB:4 * SLAB, 3:6]
+                    gmat = jnp.concatenate(
+                        [GD, GA1, GA2, GOP, GC, zero1, zero1, zero1], axis=1)
 
             new_A = carry_ref[0:1, :] + jnp.sum(w, axis=0, keepdims=True)
             # R_rev[0] = prod of all 1/(1-a) in the slab => T at slab start.
@@ -581,7 +684,7 @@ def blend_backward(pairs: jax.Array, tile_starts: jax.Array,
                    final_T: jax.Array, n_contrib: jax.Array,
                    g_color: jax.Array, g_depth: jax.Array, g_normal: jax.Array,
                    *, image_width: int, image_height: int, tile_h: int,
-                   tile_w: int, rich: bool = True,
+                   tile_w: int, rich: bool = True, variant: str = "2D",
                    interpret: bool = False) -> jax.Array:
     """Backward blend: per-pair gradients (16, MP) for the packed fields."""
     grid_w = pl.cdiv(image_width, tile_w)
@@ -598,7 +701,8 @@ def blend_backward(pairs: jax.Array, tile_starts: jax.Array,
 
     kernel = functools.partial(_bwd_kernel, tile_h=tile_h, tile_w=tile_w,
                                grid_w=grid_w, width=image_width,
-                               height=image_height, rich=rich)
+                               height=image_height, rich=rich,
+                               variant=variant)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(grid_h, grid_w),

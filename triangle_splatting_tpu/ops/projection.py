@@ -255,3 +255,122 @@ def preprocess_2d(vertex: jnp.ndarray, center2d_offset: jnp.ndarray,
         tiles_touched=tiles_touched, radii=radii,
         normal_view=normal_view, v_depth=v_depth,
     )
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class Preprocessed3D:
+    """Per-triangle quantities for the perspective-correct 3D variant
+    (diff-triangle-rasterization-3D): view-space vertices + raw plane normal
+    instead of screen-space vertices."""
+    v1_view: jax.Array      # (P, 3)
+    v2_view: jax.Array
+    v3_view: jax.Array
+    normal_view: jax.Array  # (P, 3) UNNORMALIZED cross(v2-v1, v3-v1)
+    depth: jax.Array        # (P,) view z of the centroid (sort key)
+    rgb: jax.Array          # (P, 3)
+    valid: jax.Array        # (P,) bool
+    rect_min: jax.Array     # (P, 2) int32
+    rect_max: jax.Array     # (P, 2) int32
+    tiles_touched: jax.Array  # (P,) int32
+    radii: jax.Array        # (P,) int32
+    # 2D-variant extras kept for a uniform oracle interface
+    v_depth: jax.Array      # (P, 3) per-vertex view depth (unused by blend)
+
+
+def preprocess_3d(vertex: jnp.ndarray, center2d_offset: jnp.ndarray,
+                  rgb: jnp.ndarray, world_view: jnp.ndarray,
+                  full_proj: jnp.ndarray, tan_fovx, tan_fovy,
+                  settings: RasterSettings,
+                  alive_mask: Optional[jnp.ndarray] = None,
+                  opacity: Optional[jnp.ndarray] = None,
+                  gamma=None) -> Preprocessed3D:
+    """Perspective-correct preprocess (3D/src/forward.cu:61-148).
+
+    The triangle is dilated in WORLD space about its centroid, each dilated
+    vertex is projected (near-culled if any lands behind the camera), and
+    the screen bbox of the three projections gives the touched tiles.
+    ``center2d_offset`` shifts the projected pixel coordinates so its
+    cotangent matches the reference's view-space-xy ``center2D`` gradient
+    statistic (3D/src/backward.cu:211-213) up to the pixel scaling.
+    """
+    W, H = settings.image_width, settings.image_height
+    TW, TH = settings.tile_w, settings.tile_h
+    grid_w, grid_h = settings.grid_w, settings.grid_h
+
+    def _apply(M, pts):
+        out = M[:, 0] * pts[:, 0:1] + M[:, 1] * pts[:, 1:2] + M[:, 2] * pts[:, 2:3]
+        return out + M[:, 3]
+
+    v_view = (world_view[:3, 0] * vertex[..., 0:1]
+              + world_view[:3, 1] * vertex[..., 1:2]
+              + world_view[:3, 2] * vertex[..., 2:3]
+              + world_view[:3, 3])                              # (P, 3, 3)
+    # center2D statistics hook: the 3D reference accumulates view-space xy
+    # vertex gradients into center2D (3D/src/backward.cu:211-213); adding
+    # the zero offset to every vertex's view xy reproduces that cotangent.
+    offset3 = jnp.concatenate([center2d_offset,
+                               jnp.zeros_like(center2d_offset[:, :1])], -1)
+    v_view = v_view + offset3[:, None, :]
+    center_view = v_view.mean(axis=1)
+    normal_view = jnp.cross(v_view[:, 1] - v_view[:, 0],
+                            v_view[:, 2] - v_view[:, 0])        # (P, 3)
+    n_norm = safe_norm(normal_view)
+    valid = n_norm >= EPS
+    if settings.back_culling:
+        valid = valid & (normal_view[:, 2] < 0)
+    if alive_mask is not None:
+        valid = valid & alive_mask
+
+    # World-space dilation about the centroid, then projection of all three
+    # dilated vertices. Tight dilation (see preprocess_2d) applies equally.
+    center = vertex.mean(axis=1)
+    if opacity is not None and gamma is not None:
+        o = jax.lax.stop_gradient(opacity.reshape(-1))
+        g = jnp.asarray(gamma, jnp.float32)
+        vis = o * 255.0 > 1.0 + 1e-6
+        valid = valid & vis
+        log_pow = jnp.log(jnp.maximum(
+            2.0 * jnp.log(jnp.maximum(255.0 * o, 1.0 + 1e-6)), 1e-12))
+        dilation = jnp.minimum(3.0, jnp.exp(log_pow / (2.0 * g)))[:, None, None]
+        dilation = jax.lax.stop_gradient(dilation)
+    else:
+        dilation = 3.0
+    v_dil = center[:, None, :] + dilation * (vertex - center[:, None, :])
+
+    flat = v_dil.reshape(-1, 3)
+    h = _apply(full_proj, flat)                                 # (3P, 4)
+    w_inv = 1.0 / (jnp.abs(h[:, 3]) + EPS)
+    proj = (h[:, :3] * w_inv[:, None]).reshape(-1, 3, 3)        # (P, 3, 3)
+    valid = valid & jnp.all(proj[:, :, 2] > 0, axis=1)          # near culling
+
+    # projToPix: (v + 1) * S * 0.5 - 0.5 (3D/src/auxiliary.h:35-38)
+    pix_x = (proj[:, :, 0] + 1.0) * (W * 0.5) - 0.5
+    pix_y = (proj[:, :, 1] + 1.0) * (H * 0.5) - 0.5
+    v_min = jnp.stack([pix_x.min(axis=1), pix_y.min(axis=1)], -1)
+    v_max = jnp.stack([pix_x.max(axis=1), pix_y.max(axis=1)], -1)
+
+    rect_min = jnp.stack([
+        jnp.clip(jnp.floor(v_min[:, 0] / TW).astype(jnp.int32), 0, grid_w),
+        jnp.clip(jnp.floor(v_min[:, 1] / TH).astype(jnp.int32), 0, grid_h),
+    ], axis=-1)
+    rect_max = jnp.stack([
+        jnp.clip(jnp.floor((v_max[:, 0] + TW - 1) / TW).astype(jnp.int32), 0, grid_w),
+        jnp.clip(jnp.floor((v_max[:, 1] + TH - 1) / TH).astype(jnp.int32), 0, grid_h),
+    ], axis=-1)
+    valid = valid & (rect_max[:, 0] > rect_min[:, 0]) & (rect_max[:, 1] > rect_min[:, 1])
+
+    tiles_touched = jnp.where(
+        valid, (rect_max[:, 0] - rect_min[:, 0]) * (rect_max[:, 1] - rect_min[:, 1]), 0
+    ).astype(jnp.int32)
+    radii = jnp.where(valid, jnp.maximum(
+        jnp.ceil((v_max[:, 0] - v_min[:, 0]) * 0.5),
+        jnp.ceil((v_max[:, 1] - v_min[:, 1]) * 0.5),
+    ).astype(jnp.int32), 0)
+
+    return Preprocessed3D(
+        v1_view=v_view[:, 0], v2_view=v_view[:, 1], v3_view=v_view[:, 2],
+        normal_view=normal_view, depth=center_view[:, 2], rgb=rgb,
+        valid=valid, rect_min=rect_min, rect_max=rect_max,
+        tiles_touched=tiles_touched, radii=radii,
+        v_depth=v_view[:, :, 2])

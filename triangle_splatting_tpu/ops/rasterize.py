@@ -28,9 +28,10 @@ import numpy as np
 
 from . import sh as sh_mod
 from .binning import Binning, aligned_capacity, bin_triangles
-from .oracle import blend_oracle
+from .oracle import blend_oracle, blend_oracle_3d
 from .pallas.blend import (NUM_FIELDS, SLAB, blend_backward, blend_forward)
-from .projection import Preprocessed, RasterSettings, preprocess_2d
+from .projection import (Preprocessed, Preprocessed3D, RasterSettings,
+                         preprocess_2d, preprocess_3d)
 from ..utils.camera import Camera
 
 
@@ -68,6 +69,46 @@ def triangle_field_matrix(prep: Preprocessed, opacity: jnp.ndarray) -> jnp.ndarr
     return jnp.where(prep.valid[:, None], fields, 0.0)
 
 
+def triangle_field_matrix_3d(prep: Preprocessed3D, opacity: jnp.ndarray,
+                             tan_fovx, tan_fovy, width: int,
+                             height: int) -> jnp.ndarray:
+    """Per-triangle packed kernel fields (P, 16) for the 3D variant.
+
+    The ray-plane intersection barycentrics reduce to ratios of affine
+    forms in pixel coordinates (see pallas/blend.py header):
+    a1 = (r.u1)/(r.n) with u1 = (C23*n - k*(n x (v2-v3))) / n.n, k = v1.n,
+    C23 = (v2 x v3).n. Each 3-vector w becomes affine coefficients
+    (c0, cx, cy) of r.w over the pixel grid.
+    """
+    n = prep.normal_view
+    v1, v2, v3 = prep.v1_view, prep.v2_view, prep.v3_view
+    nn = jnp.sum(n * n, -1)
+    inv_nn = 1.0 / jnp.where(prep.valid, jnp.maximum(nn, 1e-20), 1.0)
+    k = jnp.sum(v1 * n, -1)
+    C23 = jnp.sum(jnp.cross(v2, v3) * n, -1)
+    C31 = jnp.sum(jnp.cross(v3, v1) * n, -1)
+    u1 = (C23[:, None] * n - k[:, None] * jnp.cross(n, v2 - v3)) * inv_nn[:, None]
+    u2 = (C31[:, None] * n - k[:, None] * jnp.cross(n, v3 - v1)) * inv_nn[:, None]
+
+    def affine(w):
+        c0 = (w[:, 2] + w[:, 0] * tan_fovx * (1.0 - width) / width
+              + w[:, 1] * tan_fovy * (1.0 - height) / height)
+        cx = 2.0 * tan_fovx * w[:, 0] / width
+        cy = 2.0 * tan_fovy * w[:, 1] / height
+        return c0, cx, cy
+
+    d0, dx, dy = affine(n)
+    a10, a1x, a1y = affine(u1)
+    a20, a2x, a2y = affine(u2)
+    rgb = prep.rgb
+    fields = jnp.stack([
+        d0, dx, dy, a10, a1x, a1y, a20, a2x, a2y, opacity,
+        rgb[:, 0], rgb[:, 1], rgb[:, 2], k,
+        jnp.zeros_like(k), jnp.zeros_like(k),
+    ], axis=1)                                               # (P, 16)
+    return jnp.where(prep.valid[:, None], fields, 0.0)
+
+
 def pack_pair_fields(field_matrix: jnp.ndarray, binning: Binning) -> jnp.ndarray:
     """ONE gather of the per-triangle field matrix into sorted pair order.
 
@@ -86,11 +127,11 @@ def pack_pair_fields(field_matrix: jnp.ndarray, binning: Binning) -> jnp.ndarray
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _blend(fields, tile_starts, tile_counts, params, static_cfg):
-    width, height, tile_h, tile_w, rich, interpret = static_cfg
+    width, height, tile_h, tile_w, rich, variant, interpret = static_cfg
     return blend_forward(fields, tile_starts, tile_counts, params,
                          image_width=width, image_height=height,
                          tile_h=tile_h, tile_w=tile_w, rich=rich,
-                         interpret=interpret)
+                         variant=variant, interpret=interpret)
 
 
 def _blend_fwd(fields, tile_starts, tile_counts, params, static_cfg):
@@ -100,14 +141,14 @@ def _blend_fwd(fields, tile_starts, tile_counts, params, static_cfg):
 
 
 def _blend_bwd(static_cfg, res, cts):
-    width, height, tile_h, tile_w, rich, interpret = static_cfg
+    width, height, tile_h, tile_w, rich, variant, interpret = static_cfg
     fields, tile_starts, tile_counts, params, final_T, n_contrib = res
     g_color, g_depth, g_normal, _g_T, _g_nc, _g_pc = cts
     pair_grads = blend_backward(
         fields, tile_starts, tile_counts, params, final_T, n_contrib,
         g_color, g_depth, g_normal,
         image_width=width, image_height=height, tile_h=tile_h, tile_w=tile_w,
-        rich=rich, interpret=interpret)
+        rich=rich, variant=variant, interpret=interpret)
     zero_starts = np.zeros(tile_starts.shape, jax.dtypes.float0)
     zero_counts = np.zeros(tile_counts.shape, jax.dtypes.float0)
     return pair_grads, zero_starts, zero_counts, jnp.zeros_like(params)
@@ -154,13 +195,20 @@ def rasterize(vertex: jnp.ndarray, opacity: jnp.ndarray,
                              active_sh_degree, settings.max_sh_degree)
 
     opac1 = opacity[..., 0] if opacity.ndim == 2 else opacity
-    prep = preprocess_2d(vertex, center2d_offset, rgb, camera.world_view,
-                         camera.full_proj, camera.tan_fovx, camera.tan_fovy,
-                         settings, alive_mask=alive_mask,
-                         opacity=opac1, gamma=gamma)
+    variant = settings.rasterizer_type
+    pre_fn = preprocess_2d if variant == "2D" else preprocess_3d
+    prep = pre_fn(vertex, center2d_offset, rgb, camera.world_view,
+                  camera.full_proj, camera.tan_fovx, camera.tan_fovy,
+                  settings, alive_mask=alive_mask,
+                  opacity=opac1, gamma=gamma)
 
     if impl == "oracle":
-        out = blend_oracle(prep, opac1, gamma, background, bg_depth, settings)
+        if variant == "2D":
+            out = blend_oracle(prep, opac1, gamma, background, bg_depth,
+                               settings)
+        else:
+            out = blend_oracle_3d(prep, opac1, gamma, background, bg_depth,
+                                  camera.tan_fovx, camera.tan_fovy, settings)
         return dict(render=out.color, depth=out.depth, normal=out.normal,
                     radii=prep.radii, visible_mask=prep.radii > 0,
                     contrib_sum=out.contrib_sum, contrib_max=out.contrib_max,
@@ -178,13 +226,24 @@ def rasterize(vertex: jnp.ndarray, opacity: jnp.ndarray,
     prep_ng = jax.tree_util.tree_map(jax.lax.stop_gradient, prep)
     binning = bin_triangles(prep_ng, settings, max_pairs, align=SLAB)
 
-    fields = pack_pair_fields(triangle_field_matrix(prep, opac1), binning)
-    params = jnp.concatenate([gamma[None], background,
-                              bg_depth[None], jnp.zeros(3, jnp.float32)])
+    if variant == "2D":
+        fmat = triangle_field_matrix(prep, opac1)
+        sx = sy = jnp.zeros((), jnp.float32)
+    else:
+        fmat = triangle_field_matrix_3d(prep, opac1, camera.tan_fovx,
+                                        camera.tan_fovy, settings.image_width,
+                                        settings.image_height)
+        sx = settings.image_width / (2.0 * camera.tan_fovx)
+        sy = settings.image_height / (2.0 * camera.tan_fovy)
+    fields = pack_pair_fields(fmat, binning)
+    params = jnp.concatenate([gamma[None], background, bg_depth[None],
+                              jnp.asarray(sx, jnp.float32).reshape(1),
+                              jnp.asarray(sy, jnp.float32).reshape(1),
+                              jnp.zeros(1, jnp.float32)])
 
     static_cfg = (settings.image_width, settings.image_height,
                   settings.tile_h, settings.tile_w, settings.rich_info,
-                  interpret)
+                  variant, interpret)
     color, depth, normal, final_T, n_contrib, pair_contrib = _blend(
         fields, binning.tile_starts, binning.tile_counts, params, static_cfg)
 
