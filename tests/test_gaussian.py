@@ -1,0 +1,151 @@
+"""Gaussian path: preprocess math, kernel parity, model ADC, training."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from dataclasses import replace
+
+from triangle_splatting_tpu.models import gaussian_model as G
+from triangle_splatting_tpu.ops.gaussian import (build_cov3d, quat_to_rotmat)
+from triangle_splatting_tpu.ops.projection import RasterSettings
+from triangle_splatting_tpu.ops.rasterize import rasterize_gaussian
+from triangle_splatting_tpu.utils.testing import make_camera
+
+SETTINGS = RasterSettings(image_width=64, image_height=64, max_sh_degree=0)
+CAM = make_camera(64, 64)
+
+
+def make_gs_scene(n=120, seed=0):
+    rng = np.random.default_rng(seed)
+    xyz = np.stack([rng.uniform(-1.5, 1.5, n), rng.uniform(-1.5, 1.5, n),
+                    rng.uniform(3, 6, n)], -1).astype(np.float32)
+    scale = rng.uniform(0.03, 0.15, (n, 3)).astype(np.float32)
+    q = rng.normal(size=(n, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    opac = rng.uniform(0.3, 0.95, n).astype(np.float32)
+    rgb = rng.uniform(0.05, 0.95, (n, 3)).astype(np.float32)
+    return dict(xyz=xyz, scale=scale, rot=q, opacity=opac, rgb=rgb)
+
+
+def render(scene, impl, gamma=1.0, **kw):
+    return rasterize_gaussian(
+        jnp.asarray(scene["xyz"]), jnp.asarray(scene["scale"]),
+        jnp.asarray(scene["rot"]), jnp.asarray(scene["opacity"]), None, CAM,
+        SETTINGS, gamma=gamma, background=jnp.ones(3), bg_depth=10.0,
+        colors=jnp.asarray(scene["rgb"]), impl=impl, interpret=True, **kw)
+
+
+class TestCov:
+    def test_quat_identity(self):
+        q = jnp.asarray([[1.0, 0, 0, 0]])
+        np.testing.assert_allclose(np.asarray(quat_to_rotmat(q))[0], np.eye(3),
+                                   atol=1e-6)
+
+    def test_cov3d_isotropic(self):
+        cov = build_cov3d(jnp.full((1, 3), 2.0), jnp.asarray([[1.0, 0, 0, 0]]))
+        np.testing.assert_allclose(np.asarray(cov)[0], 4.0 * np.eye(3),
+                                   atol=1e-5)
+
+    def test_cov3d_rotation_invariant_trace(self):
+        rng = np.random.default_rng(0)
+        q = rng.normal(size=(5, 4)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        s = rng.uniform(0.5, 2.0, (5, 3)).astype(np.float32)
+        cov = np.asarray(build_cov3d(jnp.asarray(s), jnp.asarray(q)))
+        np.testing.assert_allclose(np.trace(cov, axis1=1, axis2=2),
+                                   (s ** 2).sum(1), rtol=1e-5)
+
+
+class TestGSParity:
+    @pytest.mark.parametrize("gamma", [1.0, 2.5])
+    def test_forward(self, gamma):
+        scene = make_gs_scene()
+        o = render(scene, "oracle", gamma)
+        p = render(scene, "pallas", gamma)
+        np.testing.assert_allclose(np.asarray(p["render"]),
+                                   np.asarray(o["render"]), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(p["final_T"]),
+                                   np.asarray(o["final_T"]), atol=1e-3)
+
+    def test_backward(self):
+        scene = make_gs_scene(seed=3)
+        target = jnp.asarray(
+            np.random.default_rng(5).uniform(size=(3, 64, 64)), jnp.float32)
+
+        def loss(xyz, scale, q, opac, rgb, impl):
+            out = rasterize_gaussian(xyz, scale, q, opac, None, CAM, SETTINGS,
+                                     gamma=1.0, background=jnp.ones(3),
+                                     bg_depth=10.0, colors=rgb, impl=impl,
+                                     interpret=True)
+            return jnp.abs(out["render"] - target).mean() + 0.01 * out["depth"].mean()
+
+        args = tuple(jnp.asarray(scene[k]) for k in
+                     ("xyz", "scale", "rot", "opacity", "rgb"))
+        go = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(*args, "oracle")
+        gp = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(*args, "pallas")
+        for name, a, b in zip(("xyz", "scale", "rot", "opac", "rgb"), go, gp):
+            ref = max(float(jnp.abs(a).max()), 1e-12)
+            assert float(jnp.abs(a - b).max()) / ref < 5e-3, name
+            assert np.isfinite(np.asarray(b)).all(), name
+
+
+class TestGSModel:
+    def test_create_and_forward(self):
+        scene = make_gs_scene(64)
+        cfg = G.GSModelConfig(max_sh_degree=0)
+        params, state = G.create_from_points(scene["xyz"], scene["rgb"], cfg,
+                                             init_opacity=0.5)
+        assert int(state.alive.sum()) == 64
+        pkg = G.forward(params, state, CAM, jnp.ones(3), cfg, SETTINGS,
+                        impl="oracle")
+        assert np.isfinite(np.asarray(pkg["render"])).all()
+
+    def test_densify_and_prune(self):
+        scene = make_gs_scene(32)
+        cfg = G.GSModelConfig(max_sh_degree=0)
+        params, state = G.create_from_points(scene["xyz"], scene["rgb"], cfg,
+                                             init_opacity=0.5,
+                                             capacity_factor=4.0)
+        opt = G.GSAdamState.create(params)
+        C = params.capacity
+        state = replace(state,
+                        gradient_accum=jnp.where(jnp.arange(C) < 16, 10.0, 0.0),
+                        gradient_denom=jnp.where(state.alive, 5.0, 0.0))
+        key = jax.random.PRNGKey(0)
+        params, opt, state, n, overflow = G.densify(
+            params, opt, state, key, np.float32(0.1), 1, np.float32(0.0))
+        assert int(n) == 16 and not bool(overflow)
+        assert int(state.alive.sum()) == 32 + 16  # 16 splits: +2 each, -1 orig
+
+        params, opt, state, n = G.opacity_pruning(params, opt, state, 0.9)
+        assert int(state.alive.sum()) == 0
+
+    def test_training_improves(self):
+        """Overfit a single view with the gaussian model (oracle impl)."""
+        scene = make_gs_scene(96, seed=9)
+        cfg = G.GSModelConfig(max_sh_degree=0)
+        params, state = G.create_from_points(scene["xyz"], scene["rgb"], cfg,
+                                             init_opacity=0.6)
+        # target: render of the TRUE scene colors; init params use noisy rgb
+        target = render(scene, "oracle")["render"]
+        opt = G.GSAdamState.create(params)
+        lrs = {"xyz": np.float32(2e-4), "scaling": np.float32(5e-3),
+               "rotation": np.float32(1e-3), "opacity": np.float32(0.05),
+               "f_dc": np.float32(0.02), "f_rest": np.float32(1e-3)}
+
+        @jax.jit
+        def step(params, opt, state):
+            def loss_fn(p):
+                pkg = G.forward(p, state, CAM, jnp.ones(3), cfg, SETTINGS,
+                                impl="oracle")
+                return jnp.abs(pkg["render"] - target).mean()
+            loss, g = jax.value_and_grad(loss_fn)(params)
+            params, opt = G.adam_update(params, opt, g, lrs)
+            return params, opt, loss
+
+        losses = []
+        for _ in range(40):
+            params, opt, loss = step(params, opt, state)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0] * 0.8, (losses[0], losses[-1])

@@ -145,6 +145,32 @@ def _alpha_terms(buf_t, px, py, gamma, in_range, variant="2D"):
     return a1, a2, a3, eccs, expp, alpha_un, alpha, ok, invD
 
 
+def _alpha_terms_gs(buf_t, px, py, gamma, in_range):
+    """Gaussian falloff evaluated directly from center + conic.
+
+    power = -0.5 * q^gamma, q = a dx^2 + 2b dx dy + c dy^2
+    (custom-gaussian-rasterization forward.cu:419-426) with the q < 0 and
+    alpha < 1/255 skip rules. Returns (dx, dy) for the backward chain.
+    """
+    dx = _fld(buf_t, 0) - px
+    dy = _fld(buf_t, 1) - py
+    q = (_fld(buf_t, 2) * dx * dx + 2.0 * _fld(buf_t, 3) * dx * dy
+         + _fld(buf_t, 4) * dy * dy)
+    ok = (q >= 0.0) & in_range
+    qs = jnp.maximum(q, 1e-30)
+    power = jax.lax.cond(
+        gamma == 1.0,
+        lambda v: -0.5 * v,
+        lambda v: -0.5 * jnp.exp(jnp.clip(gamma * jnp.log(v), -87.0, 44.0)),
+        qs)
+    expp = jnp.exp(jnp.minimum(power, 0.0))
+    alpha_un = _fld(buf_t, 6) * expp
+    alpha = jnp.minimum(ALPHA_MAX, alpha_un)
+    ok = ok & (alpha >= ALPHA_MIN)
+    alpha = jnp.where(ok, alpha, 0.0)
+    return q, qs, dx, dy, expp, alpha_un, alpha, ok
+
+
 def _pixel_coords(tile_x, tile_y, th, tw):
     """Flat pixel coordinates of this tile as (1, NPIX) f32 (row-major)."""
     npix = th * tw
@@ -242,8 +268,14 @@ def _fwd_kernel(
         buf_t = buf[slot, :, :].T                               # (SLAB, 16)
 
         in_range = (e_iota + s * SLAB) < npairs                 # (S, 1)
-        a1, a2, a3, eccs, expp, alpha_un, alpha, ok, invD = _alpha_terms(
-            buf_t, px, py, gamma, in_range, variant)
+        if variant == "GS":
+            q, qs, dx, dy, expp, alpha_un, alpha, ok = _alpha_terms_gs(
+                buf_t, px, py, gamma, in_range)
+            a1 = a2 = jnp.zeros_like(alpha)
+            invD = None
+        else:
+            a1, a2, a3, eccs, expp, alpha_un, alpha, ok, invD = _alpha_terms(
+                buf_t, px, py, gamma, in_range, variant)
 
         one_m = 1.0 - alpha
         # Prefix transmittance in log space on the MXU: exp(L @ log(1-a)).
@@ -251,10 +283,15 @@ def _fwd_kernel(
         cp_excl = cp_incl / one_m                               # exclusive
         T_carry = accum[7:8, :]
         T_excl = T_carry * cp_excl
-        alive = T_excl > T_EPS
+        if variant == "GS":
+            # Gaussian semantics: the entry that would push T below the
+            # threshold is itself NOT composited (forward.cu:497-503).
+            alive = (T_excl * one_m) >= T_EPS
+        else:
+            alive = T_excl > T_EPS
         contrib = jnp.where(alive, alpha * T_excl, 0.0)         # (S, NPIX)
 
-        if variant == "2D":
+        if variant in ("2D", "GS"):
             if rich:
                 # rows 7..13 = r,g,b,d0,nx,ny,nz — one accumulation matmul.
                 accum[0:7, :] += jnp.dot(buf[slot, 7:14, :], contrib, **_MM)
@@ -292,6 +329,9 @@ def _fwd_kernel(
 
     def cond(carry):
         s, t_max = carry
+        if variant == "GS":
+            # GS freezes T at >= T_EPS, so the T test cannot detect "done".
+            return s < nslabs
         return (s < nslabs) & (t_max > T_EPS)
 
     s_final, _ = jax.lax.while_loop(cond, body, (0, jnp.float32(1.0)))
@@ -453,6 +493,8 @@ def _bwd_kernel(
     ones_row = jnp.ones((1, npix), jnp.float32)
     if variant == "2D":
         R = jnp.concatenate([ones_row, px, py, g_col, g_dep, g_nrm], axis=0)
+    elif variant == "GS":
+        R = jnp.concatenate([ones_row, px, py, g_col, g_dep], axis=0)
     else:
         gn0 = g_nrm[2:3]
         gn1 = sx * g_nrm[0:1] - cW * g_nrm[2:3]
@@ -517,8 +559,14 @@ def _bwd_kernel(
             buf_t = buf2d.T                                    # (SLAB, 16)
             e = e_iota + s * SLAB                              # (S, 1)
             in_range = e < npairs
-            a1, a2, a3, eccs, expp, alpha_un, alpha, ok, invD = _alpha_terms(
-                buf_t, px, py, gamma, in_range, variant)
+            if variant == "GS":
+                q, qs, dx, dy, expp, alpha_un, alpha, ok = _alpha_terms_gs(
+                    buf_t, px, py, gamma, in_range)
+                a1 = a2 = a3 = eccs = None
+                invD = None
+            else:
+                (a1, a2, a3, eccs, expp, alpha_un, alpha, ok,
+                 invD) = _alpha_terms(buf_t, px, py, gamma, in_range, variant)
             processed = e < n_contrib                          # (S, NPIX)
             alpha = jnp.where(processed, alpha, 0.0)
             ok = ok & processed
@@ -532,7 +580,12 @@ def _bwd_kernel(
             T_excl = T_back * R_rev
             contrib = alpha * T_excl
 
-            if variant == "2D":
+            if variant == "GS":
+                gdot = (_fld(buf_t, 7) * g_col[0:1] + _fld(buf_t, 8) * g_col[1:2]
+                        + _fld(buf_t, 9) * g_col[2:3])
+                if rich:
+                    gdot = gdot + _fld(buf_t, 10) * g_dep
+            elif variant == "2D":
                 gdot = (_fld(buf_t, 7) * g_col[0:1] + _fld(buf_t, 8) * g_col[1:2]
                         + _fld(buf_t, 9) * g_col[2:3])
                 if rich:
@@ -560,6 +613,43 @@ def _bwd_kernel(
 
             not_clamped = alpha_un < ALPHA_MAX
             d_opac = jnp.where(ok & not_clamped, dL_da * expp, 0.0)
+            if variant == "GS":
+                # d(power)/dq = -0.5 * gamma * q^(gamma-1)
+                dpow_dq = jax.lax.cond(
+                    gamma == 1.0,
+                    lambda v: jnp.full_like(v, -0.5),
+                    lambda v: -0.5 * gamma * jnp.exp(
+                        jnp.clip((gamma - 1.0) * jnp.log(v), -87.0, 44.0)),
+                    qs)
+                dL_dq = jnp.where(ok & not_clamped,
+                                  dL_da * alpha_un * dpow_dq, 0.0)
+                GOP = _row_sum(d_opac)
+                # Direct, well-conditioned reductions against (dx, dy):
+                # dq/da = dx^2, dq/db = 2 dx dy, dq/dc = dy^2,
+                # dq/dX = 2a dx + 2b dy, dq/dY = 2b dx + 2c dy.
+                a_ = _fld(buf_t, 2); b_ = _fld(buf_t, 3); c_ = _fld(buf_t, 4)
+                gdx = dL_dq * dx
+                gdy = dL_dq * dy
+                GX = _row_sum(2.0 * a_ * gdx + 2.0 * b_ * gdy)
+                GY = _row_sum(2.0 * b_ * gdx + 2.0 * c_ * gdy)
+                GA = _row_sum(gdx * dx)
+                GB = _row_sum(2.0 * gdx * dy)
+                GC2 = _row_sum(gdy * dy)
+                lefts = contrib.astype(jnp.bfloat16)
+                G = jnp.dot(lefts, R[3:].T.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)  # (S, 4)
+                GCc = G[:, 0:3]
+                if rich:
+                    GDEP = G[:, 3:4]
+                else:
+                    GDEP = jnp.zeros((SLAB, 1), jnp.float32)
+                zero5 = jnp.zeros((SLAB, 5), jnp.float32)
+                gmat = jnp.concatenate(
+                    [GX, GY, GA, GB, GC2, jnp.zeros((SLAB, 1), jnp.float32),
+                     GOP, GCc, GDEP, zero5], axis=1)
+                new_A = carry_ref[0:1, :] + jnp.sum(w, axis=0, keepdims=True)
+                new_T = T_back * R_rev[0:1, :]
+                return gmat, new_A - carry_ref[0:1, :], new_T
             # d(alpha)/d(ecc) = alpha_un * (-gamma) * ecc^(2*gamma - 1)
             ecc_pow = jax.lax.cond(
                 gamma == 1.0,

@@ -260,3 +260,82 @@ def rasterize(vertex: jnp.ndarray, opacity: jnp.ndarray,
                 contrib_sum=contrib_sum, contrib_max=contrib_max,
                 final_T=final_T, n_contrib=n_contrib,
                 overflow=binning.overflow, num_pairs=binning.num_pairs)
+
+
+def rasterize_gaussian(xyz: jnp.ndarray, scale: jnp.ndarray,
+                       rotation: jnp.ndarray, opacity: jnp.ndarray,
+                       shs: Optional[jnp.ndarray], camera: Camera,
+                       settings: RasterSettings, *, gamma=1.0,
+                       background=None, bg_depth=5000.0, active_sh_degree=0,
+                       colors: Optional[jnp.ndarray] = None,
+                       alive_mask: Optional[jnp.ndarray] = None,
+                       mean2d_offset: Optional[jnp.ndarray] = None,
+                       scale_modifier=1.0, impl: str = "pallas",
+                       max_pairs: Optional[int] = None,
+                       interpret: bool = False) -> dict:
+    """Render 3D gaussians (custom-gaussian-rasterization equivalent).
+
+    Differentiable w.r.t. xyz / scale / rotation / opacity / shs / colors /
+    mean2d_offset (the densification-statistics hook, mirroring the
+    reference's means2D dummy tensor).
+    """
+    from .gaussian import (blend_oracle_gs, gaussian_field_matrix,
+                           preprocess_gaussian)
+    P = xyz.shape[0]
+    if background is None:
+        background = jnp.zeros(3, jnp.float32)
+    background = jnp.asarray(background, jnp.float32)
+    gamma = jnp.asarray(gamma, jnp.float32)
+    bg_depth = jnp.asarray(bg_depth, jnp.float32)
+
+    if colors is not None:
+        rgb = colors
+    else:
+        rgb = sh_mod.eval_sh(shs, xyz, camera.camera_center,
+                             active_sh_degree, settings.max_sh_degree)
+
+    opac1 = opacity[..., 0] if opacity.ndim == 2 else opacity
+    prep = preprocess_gaussian(xyz, scale, rotation, rgb, camera.world_view,
+                               camera.full_proj, camera.tan_fovx,
+                               camera.tan_fovy, settings,
+                               alive_mask=alive_mask, opacity=opac1,
+                               gamma=gamma, scale_modifier=scale_modifier,
+                               mean2d_offset=mean2d_offset)
+
+    if impl == "oracle":
+        out = blend_oracle_gs(prep, opac1, gamma, background, bg_depth,
+                              settings)
+        return dict(render=out.color, depth=out.depth, normal=out.normal,
+                    radii=prep.radii, visible_mask=prep.radii > 0,
+                    contrib_sum=out.contrib_sum, contrib_max=out.contrib_max,
+                    final_T=out.final_T, n_contrib=out.n_contrib,
+                    overflow=jnp.asarray(False), num_pairs=jnp.int32(0))
+
+    if max_pairs is None:
+        max_pairs = _round_up(settings.pairs_per_triangle * P, SLAB)
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True
+
+    prep_ng = jax.tree_util.tree_map(jax.lax.stop_gradient, prep)
+    binning = bin_triangles(prep_ng, settings, max_pairs, align=SLAB)
+
+    fields = pack_pair_fields(gaussian_field_matrix(prep, opac1), binning)
+    params = jnp.concatenate([gamma[None], background, bg_depth[None],
+                              jnp.zeros(3, jnp.float32)])
+    static_cfg = (settings.image_width, settings.image_height,
+                  settings.tile_h, settings.tile_w, settings.rich_info,
+                  "GS", interpret)
+    color, depth, normal, final_T, n_contrib, pair_contrib = _blend(
+        fields, binning.tile_starts, binning.tile_counts, params, static_cfg)
+
+    pc = jax.lax.stop_gradient(pair_contrib)
+    seg = jnp.where(binning.pair_valid, binning.pair_tri, P)
+    contrib_sum = jax.ops.segment_sum(pc[0], seg, num_segments=P + 1)[:P]
+    contrib_max = jax.ops.segment_max(pc[1], seg, num_segments=P + 1)[:P]
+    contrib_max = jnp.maximum(contrib_max, 0.0)
+
+    return dict(render=color, depth=depth, normal=normal,
+                radii=prep.radii, visible_mask=prep.radii > 0,
+                contrib_sum=contrib_sum, contrib_max=contrib_max,
+                final_T=final_T, n_contrib=n_contrib,
+                overflow=binning.overflow, num_pairs=binning.num_pairs)

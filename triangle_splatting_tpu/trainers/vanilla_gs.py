@@ -1,0 +1,294 @@
+"""VanillaGS trainer (reference trainers/VanillaGS_trainer.py).
+
+Structurally a sibling of VanillaTSTrainer with the gaussian model: one
+jitted train step, jitted ADC cadences, PSNR/SSIM eval, 3DGS-compatible
+PLY IO (raw_gaussian.py schema).
+"""
+
+from __future__ import annotations
+
+import functools
+import pickle
+from dataclasses import replace
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import gaussian_model as G
+from ..models.model_utils import get_color_tensor
+from ..models.raw_gaussian import RawGaussian
+from ..ops.projection import RasterSettings
+from ..utils.camera import Camera
+from ..utils.config import Config
+from ..utils.scheduler import exponential_scheduler
+from ..utils.timer import Timer
+from . import losses as L
+from .base import BaseTrainer
+
+
+def _f32(x):
+    return np.float32(x)
+
+
+class VanillaGSTrainer(BaseTrainer):
+    def __init__(self, config: str | Config, exp_name: str | None = None,
+                 log_file: bool = True, impl: str = "pallas",
+                 interpret: bool = False):
+        super().__init__(config, exp_name, log_file)
+        mc = self.config.model
+        self.model_cfg = G.GSModelConfig(
+            max_sh_degree=mc.max_sh_degree if mc.max_sh_degree is not None else 3)
+        self.impl = impl
+        self.interpret = interpret
+        self.params = None
+        self.state = None
+        self.opt = None
+        self._rng = np.random.default_rng(self.seed)
+        self._prng = jax.random.PRNGKey(self.seed)
+        self._sh_degree_host = 0
+        self._setup_schedulers()
+        self._j_densify = jax.jit(G.densify, static_argnums=(5, 7))
+        self._j_opacity_pruning = jax.jit(G.opacity_pruning)
+        self._j_opacity_reset = jax.jit(G.opacity_reset)
+
+    def _setup_schedulers(self):
+        oc = self.config.model.optimizer
+        self.lr_schedulers = {}
+        names = ("xyz", "scaling", "rotation", "opacity", "f_dc", "f_rest")
+        if oc is not None:
+            for name in names:
+                sub = getattr(oc, name)
+                if sub is not None:
+                    self.lr_schedulers[name] = exponential_scheduler(**vars(sub))
+        mu = self.config.model.model_update
+        self._mu = mu
+        if mu is not None and mu.densification is not None:
+            d = mu.densification
+            self.grad_threshold_scheduler = exponential_scheduler(
+                v_init=d.grad_threshold_init, v_final=d.grad_threshold_final,
+                max_steps=d.end_iter - d.start_iter)
+        if mu is not None and mu.opacity_pruning is not None:
+            op = mu.opacity_pruning
+            self.opacity_pruning_scheduler = exponential_scheduler(
+                v_init=op.opacity_threshold_init,
+                v_final=op.opacity_threshold_final,
+                max_steps=op.end_iter - op.start_iter)
+
+    def _lrs(self, iteration: int) -> dict:
+        lrs = {n: _f32(fn(iteration)) for n, fn in self.lr_schedulers.items()}
+        for n in ("xyz", "scaling", "rotation", "opacity", "f_dc", "f_rest"):
+            lrs.setdefault(n, _f32(0.0))
+        return lrs
+
+    def _settings_for(self, camera: Camera) -> RasterSettings:
+        return RasterSettings(
+            image_width=camera.image_width, image_height=camera.image_height,
+            max_sh_degree=self.model_cfg.max_sh_degree,
+            pairs_per_triangle=self.config.model.pairs_per_triangle or 8)
+
+    @functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2, 3, 4))
+    def _train_step(self, settings, params, opt, state, camera, background,
+                    lrs, weights):
+        C = params.capacity
+
+        def loss_fn(p, m2d):
+            pkg = G.forward(p, state, camera, background, self.model_cfg,
+                            settings, mean2d_offset=m2d, impl=self.impl,
+                            interpret=self.interpret)
+            img = pkg["render"]
+            gt = camera.gt_image
+            if camera.alpha_mask is not None:
+                img = img * camera.alpha_mask
+                gt = gt * camera.alpha_mask
+            loss = weights["l1"] * L.l1(img, gt) \
+                + weights["ssim"] * L.ssim_loss(img, gt)
+            aux = dict(radii=pkg["radii"], contrib_sum=pkg["contrib_sum"],
+                       contrib_max=pkg["contrib_max"],
+                       visible_mask=pkg["visible_mask"],
+                       overflow=pkg["overflow"])
+            return loss, aux
+
+        m2d = jnp.zeros((C, 2), jnp.float32)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, argnums=(0, 1),
+                                                has_aux=True)(params, m2d)
+        g_params, g_m2d = grads
+        params, opt = G.adam_update(params, opt, g_params, lrs)
+        if self._track_stats:
+            state = G.update_statistics(state, g_m2d, aux["radii"],
+                                        aux["contrib_sum"], aux["contrib_max"],
+                                        aux["visible_mask"])
+        return params, opt, state, loss, aux
+
+    @functools.partial(jax.jit, static_argnums=(0, 1))
+    def _eval_step(self, settings, params, state, camera, background):
+        pkg = G.forward(params, state, camera, background, self.model_cfg,
+                        settings, is_training=False, impl=self.impl,
+                        interpret=self.interpret)
+        img = pkg["render"]
+        return img, L.psnr(img, camera.gt_image), L.ssim(jnp.clip(img, 0, 1),
+                                                         camera.gt_image)
+
+    def _init_model(self):
+        if self.params is not None:
+            return 0
+        pcd = self.dataset.getPointCloud()
+        sampling = self.config.model.sampling or Config()
+        has_densify = (self._mu is not None and self._mu.densification is not None)
+        self.params, self.state = G.create_from_points(
+            pcd.points, pcd.colors, self.model_cfg,
+            init_opacity=sampling.init_opacity if sampling.init_opacity is not None else 0.1,
+            capacity_factor=4.0 if has_densify else 1.0)
+        self.opt = G.GSAdamState.create(self.params)
+        self.logger.info(f"Initialized {int(self.state.alive.sum())} gaussians "
+                         f"(capacity {self.params.capacity})")
+        return 0
+
+    def _model_update(self, iteration: int):
+        mu = self._mu
+        if mu is None:
+            return
+        d = mu.densification
+        if d is not None and d.start_iter < iteration <= d.end_iter \
+                and iteration % d.interval_iter == 0:
+            thr = self.grad_threshold_scheduler(iteration - d.start_iter)
+            self._prng, key = jax.random.split(self._prng)
+            self.params, self.opt, self.state, n, overflow = self._j_densify(
+                self.params, self.opt, self.state, key, _f32(thr),
+                d.min_view_count, _f32(d.split_scale_threshold),
+                d.split_num or 2)
+            if bool(overflow):
+                self.logger.warning("gaussian capacity full; raise capacity_factor")
+            self.logger.info(f"[ITER {iteration}] densified {int(n)}")
+        op = mu.opacity_pruning
+        if op is not None and op.start_iter < iteration <= (op.hold_iter or op.end_iter) \
+                and iteration % op.interval_iter == 0:
+            thr = self.opacity_pruning_scheduler(iteration - op.start_iter)
+            self.params, self.opt, self.state, n = self._j_opacity_pruning(
+                self.params, self.opt, self.state, _f32(thr))
+            self.logger.info(f"[ITER {iteration}] opacity-pruned {int(n)}")
+        orr = mu.opacity_reset
+        if orr is not None and orr.start_iter < iteration <= orr.end_iter \
+                and iteration % orr.interval_iter == 0:
+            self.params, self.opt, self.state = self._j_opacity_reset(
+                self.params, self.opt, self.state, _f32(orr.reset_value))
+            self.logger.info(f"[ITER {iteration}] opacity reset")
+        shs = mu.sh_schedule
+        if shs is not None:
+            deg = min(sum(1 for it in shs.one_up_iters if iteration > it),
+                      self.model_cfg.max_sh_degree)
+            if deg != self._sh_degree_host:
+                self._sh_degree_host = deg
+                self.state = replace(self.state, active_sh_degree=jnp.int32(deg))
+
+    def train(self):
+        cfgt = self.config.trainer
+        self._init_model()
+        self._track_stats = (self._mu is not None and self._mu.statistic is not None)
+        if cfgt.initial_eval:
+            self._evaluate(0)
+        timer = Timer("Training")
+        for iteration in range(1, (cfgt.iterations or 30000) + 1):
+            timer.log("data loading")
+            camera = self.dataset.nextTrainData()
+            settings = self._settings_for(camera)
+            camera = camera.strip_static()
+            timer.log("train step")
+            bg = jnp.asarray(get_color_tensor(cfgt.train_background or "random",
+                                              self._rng))
+            weights = {"l1": _f32(1.0 - (cfgt.w_ssim or 0.0)),
+                       "ssim": _f32(cfgt.w_ssim or 0.0)}
+            self.params, self.opt, self.state, loss, aux = self._train_step(
+                settings, self.params, self.opt, self.state, camera, bg,
+                self._lrs(iteration), weights)
+            if cfgt.eval_interval_iter and iteration % cfgt.eval_interval_iter == 0:
+                timer.log("evaluation")
+                self._evaluate(iteration)
+            timer.log("model update")
+            self._model_update(iteration)
+            if cfgt.log_interval_iter and iteration % cfgt.log_interval_iter == 0:
+                timer.log("logging")
+                self.logger.info(f"[ITER {iteration}] Loss: {float(loss):.5f}, "
+                                 f"Gaussians: {int(self.state.alive.sum())}")
+                self.logger.add_scalar("Loss", float(loss), iteration)
+            if iteration in (cfgt.save_iterations or []):
+                timer.log("saving")
+                self.savePLY(f"{self.output_dir}/point_cloud/{iteration}.ply")
+            if iteration in (cfgt.checkpoint_iterations or []):
+                self.save_ckpt(f"{self.output_dir}/ckpt/{iteration}.ckpt")
+            timer.stop()
+        self.logger.info(timer.message())
+
+    def _evaluate(self, iteration: int):
+        cfgt = self.config.trainer
+        bg = jnp.asarray(get_color_tensor(cfgt.eval_background or "black",
+                                          self._rng))
+        psnrs, ssims = [], []
+        for camera in self.dataset.getTestDataset():
+            settings = self._settings_for(camera)
+            img, p, s = self._eval_step(settings, self.params, self.state,
+                                        camera.strip_static(), bg)
+            psnrs.append(float(p))
+            ssims.append(float(s))
+        self.logger.info(f"[ITER {iteration}] Eval PSNR: {np.mean(psnrs):.3f}, "
+                         f"SSIM: {np.mean(ssims):.3f}")
+        self.logger.add_scalar("Average PSNR", float(np.mean(psnrs)), iteration)
+        return float(np.mean(psnrs))
+
+    # -- IO (3DGS-compatible schema) ---------------------------------------
+    def savePLY(self, path):
+        alive = np.asarray(self.state.alive)
+        g = RawGaussian(
+            xyz=np.asarray(self.params.xyz)[alive],
+            opacity=np.asarray(self.params.opacity)[alive],
+            shs=np.asarray(G.get_features(self.params))[alive].reshape(alive.sum(), -1),
+            scale=np.asarray(self.params.scaling)[alive],
+            rotation=np.asarray(self.params.rotation)[alive])
+        self.logger.info(f"Saving {len(g)} gaussians to {path}")
+        Path(path).parent.mkdir(parents=True, exist_ok=True)
+        g.savePLY(path)
+
+    def loadPLY(self, path):
+        g = RawGaussian(ply_path=str(path))
+        n = len(g)
+        K = (self.model_cfg.max_sh_degree + 1) ** 2
+        shs = np.zeros((n, K, 3), np.float32)
+        loaded = g.shs.reshape(n, -1)
+        f_dc = loaded[:, :3].reshape(n, 1, 3)
+        # 3DGS f_rest layout is channel-major (3, K-1); transpose to (K-1, 3)
+        rest = loaded[:, 3:]
+        if rest.shape[1] == (K - 1) * 3:
+            f_rest = rest.reshape(n, 3, K - 1).transpose(0, 2, 1)
+        else:
+            f_rest = np.zeros((n, K - 1, 3), np.float32)
+        cap = (n + 255) // 256 * 256
+
+        def pad(x):
+            return np.concatenate([x, np.zeros((cap - n,) + x.shape[1:], x.dtype)])
+
+        self.params = G.GaussianParams(
+            xyz=jnp.asarray(pad(g.xyz)), scaling=jnp.asarray(pad(g.scale)),
+            rotation=jnp.asarray(pad(g.rotation)),
+            opacity=jnp.asarray(pad(g.opacity)),
+            f_dc=jnp.asarray(pad(f_dc)), f_rest=jnp.asarray(pad(f_rest)))
+        self.state = G.GaussianState.create(cap)
+        self.state = replace(self.state, alive=jnp.asarray(np.arange(cap) < n))
+        self.opt = G.GSAdamState.create(self.params)
+
+    def save_ckpt(self, path):
+        Path(path).parent.mkdir(parents=True, exist_ok=True)
+        blob = dict(
+            params=jax.tree_util.tree_map(np.asarray, self.params),
+            opt=jax.tree_util.tree_map(np.asarray, self.opt),
+            state=jax.tree_util.tree_map(np.asarray, self.state))
+        with open(path, "wb") as f:
+            pickle.dump(blob, f)
+
+    def load_ckpt(self, path):
+        with open(path, "rb") as f:
+            blob = pickle.load(f)
+        to_dev = lambda x: jnp.asarray(x)
+        self.params = jax.tree_util.tree_map(to_dev, blob["params"])
+        self.opt = jax.tree_util.tree_map(to_dev, blob["opt"])
+        self.state = jax.tree_util.tree_map(to_dev, blob["state"])
