@@ -102,6 +102,14 @@ def read_cameras_text(path) -> dict[int, ColmapCamera]:
 
 
 def read_images_binary(path) -> dict[int, ColmapImage]:
+    try:
+        from ..native import read_images_binary as native_read
+        out = native_read(path)
+        if out is not None:
+            return {iid: ColmapImage(iid, q, t, cid, name)
+                    for iid, (q, t, cid, name) in out.items()}
+    except Exception:
+        pass
     images = {}
     with open(path, "rb") as f:
         (num,) = _read(f, "<Q")
@@ -144,7 +152,14 @@ def read_images_text(path) -> dict[int, ColmapImage]:
 
 
 def read_points3D_binary(path):
-    """Returns (xyz (N,3) f64, rgb (N,3) in [0,1], error (N,))."""
+    """Returns (xyz (N,3), rgb (N,3) in [0,1], error (N,))."""
+    try:
+        from ..native import read_points3d_binary as native_read
+        out = native_read(path)
+        if out is not None:
+            return out
+    except Exception:
+        pass
     with open(path, "rb") as f:
         (num,) = _read(f, "<Q")
         xyz = np.empty((num, 3))

