@@ -405,14 +405,14 @@ def blend_forward(pairs: jax.Array, tile_starts: jax.Array,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(grid_h, grid_w),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
             pl.BlockSpec((3, tile_h, tile_w), lambda i, j, *_: (0, i, j)),
             pl.BlockSpec((tile_h, tile_w), lambda i, j, *_: (i, j)),
             pl.BlockSpec((3, tile_h, tile_w), lambda i, j, *_: (0, i, j)),
             pl.BlockSpec((tile_h, tile_w), lambda i, j, *_: (i, j)),
             pl.BlockSpec((tile_h, tile_w), lambda i, j, *_: (i, j)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, NUM_FIELDS, SLAB), jnp.float32),
@@ -797,14 +797,14 @@ def blend_backward(pairs: jax.Array, tile_starts: jax.Array,
         num_scalar_prefetch=3,
         grid=(grid_h, grid_w),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((3, tile_h, tile_w), lambda i, j, *_: (0, i, j)),
             pl.BlockSpec((tile_h, tile_w), lambda i, j, *_: (i, j)),
             pl.BlockSpec((3, tile_h, tile_w), lambda i, j, *_: (0, i, j)),
             pl.BlockSpec((tile_h, tile_w), lambda i, j, *_: (i, j)),
             pl.BlockSpec((tile_h, tile_w), lambda i, j, *_: (i, j)),
         ],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
             pltpu.VMEM((2, NUM_FIELDS, SLAB), jnp.float32),
             pltpu.VMEM((2, NUM_FIELDS, SLAB), jnp.float32),
