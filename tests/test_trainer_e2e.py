@@ -179,6 +179,9 @@ class TestMeshTrainerE2E:
         cfg.trainer.w_opacity_reg = dict_to_config(
             {"quad_reg": 0.01, "linear_reg": 0.01,
              "quad_start_iter": 5, "linear_start_iter": 25})
+        # exercise the on-device kNN vertex regularizer (ops/knn.py)
+        cfg.trainer.vertex_reg = dict_to_config(
+            {"w_vertex_reg": 0.1, "start_iter": 5, "interval_iter": 10})
         trainer = VanillaTSTrainer(cfg, impl="oracle", log_file=False)
         trainer.train()
         assert float(trainer.state.gamma) > 10.0       # anneal advanced

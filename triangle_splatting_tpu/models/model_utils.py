@@ -44,17 +44,17 @@ def nearest_neighbor_np(points: np.ndarray, batch_size: int = 1) -> np.ndarray:
     from scipy.spatial import cKDTree
     n = points.shape[0]
     tree = cKDTree(points)
+    # own group holds at most batch_size blockers (incl. self), so
+    # batch_size + 1 candidates always contain a valid neighbor
     k = min(batch_size + 1, n)
-    _, idx = tree.query(points, k=k + batch_size)
+    _, idx = tree.query(points, k=k)
+    idx = np.atleast_2d(idx.reshape(n, -1))
     group = np.arange(n) // batch_size
-    out = np.zeros(n, dtype=np.int64)
-    for j in range(idx.shape[1]):
+    out = np.full(n, -1, dtype=np.int64)
+    for j in range(idx.shape[1] - 1, -1, -1):   # nearest column wins last
         cand = idx[:, j]
-        ok = (group[cand] != group) & (out == 0) if j > 0 else np.zeros(n, bool)
+        ok = group[cand] != group
         out = np.where(ok, cand, out)
-    # first column pass above misses rows whose first valid candidate is col 0
-    first_ok = group[idx[:, 0]] != group
-    out = np.where(first_ok, idx[:, 0], out)
     return out
 
 

@@ -494,9 +494,12 @@ class VanillaTSTrainer(BaseTrainer):
 
             if self._w_vertex > 0 and iteration > (vr.start_iter or 0) and \
                     ((iteration - 1) % (vr.interval_iter or 10) == 0 or nearest_idx is None):
-                from ..models.model_utils import nearest_neighbor_np
-                pts = np.asarray(self.params.vertex).reshape(-1, 3)
-                nearest_idx = jnp.asarray(nearest_neighbor_np(pts, 3))
+                # on-device exact kNN (ops/knn.py) — no host roundtrip;
+                # restrict targets to alive triangles' vertices
+                from ..ops.knn import nearest_neighbor
+                pts = self.params.vertex.reshape(-1, 3)
+                nearest_idx = nearest_neighbor(
+                    pts, 3, jnp.repeat(self.state.alive, 3))
 
             self.params, self.opt, self.state, loss, aux = self._train_step(
                 settings, self.params, self.opt, self.state, camera,
