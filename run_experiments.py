@@ -17,7 +17,7 @@ def exp(config_path: str, dataset_path: str, scene: str, exp_name: str,
     from triangle_splatting_tpu.utils.jax_setup import setup
     setup()
     from triangle_splatting_tpu.utils.config import loadConfig
-    from triangle_splatting_tpu.trainers.vanilla_ts import VanillaTSTrainer
+    from triangle_splatting_tpu.trainers import build_trainer
 
     config = loadConfig(config_path)
     config.dataset.local_dir = dataset_path
@@ -29,7 +29,7 @@ def exp(config_path: str, dataset_path: str, scene: str, exp_name: str,
             and config.model.model_update.contribution_pruning is not None:
         config.model.model_update.contribution_pruning.target_point_num = target_point_num
 
-    trainer = VanillaTSTrainer(config, exp_name=exp_name)
+    trainer = build_trainer(config, exp_name=exp_name)
     trainer.train()
 
 

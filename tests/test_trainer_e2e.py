@@ -42,9 +42,9 @@ def _pose_on_circle(theta, radius=4.5):
     return c2w
 
 
-@pytest.fixture(scope="module")
-def synthetic_dataset(tmp_path_factory):
-    root = tmp_path_factory.mktemp("lego_mini")
+def build_synthetic_dataset(root):
+    root = Path(root)
+    root.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(0)
     # ground-truth scene centered at the origin
     scene = make_random_scene(N_TRI, seed=7, z_range=(-0.8, 0.8),
@@ -91,6 +91,11 @@ def synthetic_dataset(tmp_path_factory):
     PointCloud(centers.astype(np.float32), scene["rgb"]).storePly(
         root / "point_cloud.ply")
     return root
+
+
+@pytest.fixture(scope="module")
+def synthetic_dataset(tmp_path_factory):
+    return build_synthetic_dataset(tmp_path_factory.mktemp("lego_mini"))
 
 
 def make_config(root, out_dir, iters=60):

@@ -95,6 +95,19 @@ class BaseDatasetFactory:
     def getSceneInfo(self) -> dict | None:
         return None
 
+    def getGTGaussian(self):
+        """Ground-truth gaussian set for Scaffold MLP distillation
+        (reference Qijing_dataset.py:104-118, generalized: any dataset may
+        point ``gt_gaussian_path`` at a 3DGS PLY)."""
+        if getattr(self, "_gt_gaussian", None) is None:
+            path = self._config.gt_gaussian_path
+            if path is None:
+                raise FileNotFoundError(
+                    "dataset config has no gt_gaussian_path")
+            from ..models.raw_gaussian import RawGaussian
+            self._gt_gaussian = RawGaussian(ply_path=str(path))
+        return self._gt_gaussian
+
     def __del__(self):
         if self._train_loader is not None:
             self._train_loader.close()

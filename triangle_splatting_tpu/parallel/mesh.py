@@ -59,7 +59,10 @@ def make_dp_train_step(mesh: Mesh, settings: RasterSettings,
         where ``cameras`` is a batched Camera pytree with leading dim equal
         to the mesh size (sharded over ``axis``).
     """
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
 
     n_dev = mesh.shape[axis]
     repl = P()
@@ -88,6 +91,6 @@ def make_dp_train_step(mesh: Mesh, settings: RasterSettings,
         per_device, mesh=mesh,
         in_specs=(repl, repl, repl, shard, repl, repl, repl),
         out_specs=(repl, repl, repl, repl, repl),
-        check_rep=False)
+        check_vma=False)
 
     return jax.jit(smapped, donate_argnums=(0, 1) if donate else ())

@@ -1,0 +1,400 @@
+"""Scaffold-GS trainer (reference trainers/ScaffoldGS_trainer.py).
+
+One jitted train step over the functional scaffold model
+(models/scaffold.py): forward + loss + grads(params, mean2d) + per-group
+Adam + statistics, with jitted anchor grow/prune on the reference cadence
+and the MLP-distillation pretrain loop (ScaffoldGS_trainer.py:189-264).
+"""
+
+from __future__ import annotations
+
+import functools
+import pickle
+from dataclasses import replace
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import scaffold as S
+from ..models.model_utils import get_color_tensor, inverse_sigmoid_np
+from ..models.raw_gaussian import RawGaussian
+from ..ops.projection import RasterSettings
+from ..utils.camera import Camera
+from ..utils.config import Config
+from ..utils.scheduler import exponential_scheduler
+from ..utils.timer import Timer
+from . import losses as L
+from .base import BaseTrainer
+
+LR_GROUPS = ("anchor", "anchor_feat", "mlp_offset", "mlp_opacity",
+             "mlp_cov", "mlp_color", "mlp_scaling")
+
+
+def _f32(x):
+    return np.float32(x)
+
+
+class ScaffoldGSTrainer(BaseTrainer):
+    def __init__(self, config: str | Config, exp_name: str | None = None,
+                 log_file: bool = True, impl: str = "pallas",
+                 interpret: bool = False):
+        super().__init__(config, exp_name, log_file)
+        mc = self.config.model
+        self.model_cfg = S.ScaffoldConfig(
+            feat_dim=mc.feat_dim or 32,
+            hidden_dim=mc.hidden_dim or 32,
+            n_offsets=mc.n_offsets or 10,
+            max_offset_scale=mc.max_offset_scale
+            if mc.max_offset_scale is not None else 1.0,
+            max_scaling_scale=mc.max_scaling_scale
+            if mc.max_scaling_scale is not None else 1.0,
+            feat_init_std=mc.feat_init_std
+            if mc.feat_init_std is not None else 0.1,
+            outside_boundary_ratio=mc.outside_boundary_ratio
+            if mc.outside_boundary_ratio is not None else 4.0,
+            update_depth=(mc.anchor_update.update_depth or 3)
+            if mc.anchor_update is not None else 3,
+            update_init_factor=(mc.anchor_update.update_init_factor or 16)
+            if mc.anchor_update is not None else 16,
+            update_hierachy_factor=(
+                mc.anchor_update.update_hierachy_factor or 4)
+            if mc.anchor_update is not None else 4)
+        self.impl = impl
+        self.interpret = interpret
+        self.params = None
+        self.state = None
+        self.opt = None
+        self.scene_bbox = None
+        info = self.dataset.getSceneInfo()
+        if info is not None:
+            self.scene_bbox = info.get("bbox_xyz")
+        self._rng = np.random.default_rng(self.seed)
+        self._prng = jax.random.PRNGKey(self.seed)
+        self._setup_schedulers()
+        self._j_grow = jax.jit(S.grow_anchors, static_argnums=(4,))
+        self._j_prune = jax.jit(S.prune_anchors)
+
+    def _setup_schedulers(self):
+        oc = self.config.model.optimizer
+        self.lr_schedulers = {}
+        if oc is not None:
+            for name in LR_GROUPS:
+                sub = getattr(oc, name)
+                if sub is None and name == "anchor_feat":
+                    sub = oc.ancho_feat      # reference config typo kept
+                if sub is not None:
+                    self.lr_schedulers[name] = exponential_scheduler(
+                        **vars(sub))
+        u = self.config.model.anchor_update
+        self._u = u
+        if u is not None:
+            steps = (u.end_iter or 1) - (u.start_iter or 0)
+            self.grad_threshold_scheduler = exponential_scheduler(
+                v_init=u.grad_threshold_init, v_final=u.grad_threshold_final,
+                max_steps=steps)
+            self.opacity_threshold_scheduler = exponential_scheduler(
+                v_init=u.opacity_threshold_init,
+                v_final=u.opacity_threshold_final, max_steps=steps)
+
+    def _lrs(self, iteration: int) -> dict:
+        lrs = {n: _f32(fn(iteration)) for n, fn in self.lr_schedulers.items()}
+        for n in LR_GROUPS:
+            lrs.setdefault(n, _f32(0.0))
+        return lrs
+
+    def _settings_for(self, camera: Camera) -> RasterSettings:
+        return RasterSettings(
+            image_width=camera.image_width, image_height=camera.image_height,
+            max_sh_degree=0,
+            pairs_per_triangle=self.config.model.pairs_per_triangle or 8)
+
+    @functools.partial(jax.jit, static_argnums=(0, 1),
+                       donate_argnums=(2, 3, 4))
+    def _train_step(self, settings, params, opt, state, camera, background,
+                    lrs, weights):
+        k = self.model_cfg.n_offsets
+        N = params.capacity * k
+
+        def loss_fn(p, m2d):
+            pkg = S.forward(p, state, camera, background, self.model_cfg,
+                            settings, mean2d_offset=m2d,
+                            scene_bbox=None, impl=self.impl,
+                            interpret=self.interpret)
+            img = pkg["render"]
+            gt = camera.gt_image
+            if camera.alpha_mask is not None:
+                img = img * camera.alpha_mask
+                gt = gt * camera.alpha_mask
+            sel = pkg["selection_mask"]
+            n_sel = jnp.maximum(sel.sum(), 1.0)
+            # scaling reg over SELECTED gaussians, opacity reg over all
+            # offsets of visible anchors (ScaffoldGS_trainer.py:28-42)
+            scaling_reg = (pkg["scaling"]
+                           * sel[..., None]).sum() / (3.0 * n_sel)
+            vis = pkg["anchor_visible_mask"][:, None]
+            n_vis = jnp.maximum(vis.sum() * k, 1.0)
+            op = pkg["gaussian_opacity"]
+            opacity_reg = ((0.25 - (op - 0.5) ** 2) * vis).sum() / n_vis
+            loss = weights["l1"] * L.l1(img, gt) \
+                + weights["ssim"] * L.ssim_loss(img, gt) \
+                + weights["scaling"] * scaling_reg \
+                + weights["opacity"] * opacity_reg
+            aux = dict(pkg=dict(
+                anchor_visible_mask=pkg["anchor_visible_mask"],
+                gaussian_visible_mask=pkg["gaussian_visible_mask"],
+                gaussian_opacity=pkg["gaussian_opacity"]),
+                n_gaussians=sel.sum(), overflow=pkg["overflow"])
+            return loss, aux
+
+        m2d = jnp.zeros((N, 2), jnp.float32)
+        (loss, aux), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(params, m2d)
+        g_params, g_m2d = grads
+        params, opt = S.adam_update(params, opt, g_params, lrs)
+        if self._track_stats:
+            state = S.update_statistics(state, g_m2d, aux["pkg"],
+                                        self.model_cfg.n_offsets)
+        return params, opt, state, loss, aux
+
+    @functools.partial(jax.jit, static_argnums=(0, 1))
+    def _eval_step(self, settings, params, state, camera, background):
+        pkg = S.forward(params, state, camera, background, self.model_cfg,
+                        settings, is_training=False, impl=self.impl,
+                        interpret=self.interpret)
+        img = pkg["render"]
+        return img, L.psnr(img, camera.gt_image), L.ssim(
+            jnp.clip(img, 0, 1), camera.gt_image)
+
+    def _init_model(self):
+        if self.params is not None:
+            return
+        pcd = self.dataset.getPointCloud()
+        self.params, self.state = S.create_from_points(
+            pcd.points, self.model_cfg,
+            voxel_size=self.config.model.voxel_size
+            if self.config.model.voxel_size is not None else 0.001,
+            scene_bbox=self.scene_bbox, seed=self.seed,
+            capacity_factor=self.config.model.capacity_factor or 4.0,
+            logger=self.logger)
+        self.opt = S.ScaffoldAdamState.create(self.params)
+        self.logger.info(
+            f"Initialized {int(self.state.alive.sum())} anchors "
+            f"(capacity {self.params.capacity}, "
+            f"{self.model_cfg.n_offsets} offsets each)")
+
+    def _maintain_constraints(self, iteration: int):
+        """Scheduled opacity threshold (ScaffoldGS_model.py:214-215)."""
+        u = self._u
+        if u is None:
+            return
+        thr = self.opacity_threshold_scheduler(
+            iteration - (u.start_iter or 0))
+        self.state = replace(self.state,
+                             opacity_threshold=jnp.float32(thr))
+
+    def _anchor_update(self, iteration: int):
+        u = self._u
+        if u is None:
+            return
+        inside = (u.start_iter or 0) < iteration <= (u.end_iter or 0)
+        if not (inside and (u.interval_iter or 0) > 0
+                and iteration % u.interval_iter == 0):
+            return
+        self._prng, key = jax.random.split(self._prng)
+        thr = self.grad_threshold_scheduler(iteration - (u.start_iter or 0))
+        self.params, self.opt, self.state, n_add, overflow = self._j_grow(
+            self.params, self.opt, self.state, key, self.model_cfg,
+            _f32(thr), _f32(u.grad_min_view_count or 0))
+        if bool(overflow):
+            self.logger.warning("anchor capacity full; raise capacity_factor")
+        opacity_thr = self.opacity_threshold_scheduler(
+            iteration - (u.start_iter or 0))
+        self.params, self.opt, self.state, n_rm = self._j_prune(
+            self.params, self.opt, self.state, _f32(opacity_thr),
+            _f32(u.opacity_min_view_count or 0))
+        self.logger.info(f"[ITER {iteration}] grad threshold: {thr:.5f}, "
+                         f"added {int(n_add)} anchors, removed {int(n_rm)}")
+
+    def train(self):
+        cfgt = self.config.trainer
+        self._init_model()
+        self._track_stats = self._u is not None
+        if cfgt.initial_eval:
+            self._evaluate(0)
+        timer = Timer("Training")
+        for iteration in range(1, (cfgt.iterations or 30000) + 1):
+            timer.log("data loading")
+            camera = self.dataset.nextTrainData()
+            settings = self._settings_for(camera)
+            camera = camera.strip_static()
+            timer.log("train step")
+            bg = jnp.asarray(get_color_tensor(
+                cfgt.train_background or "black", self._rng))
+            weights = {"l1": _f32(1.0 - (cfgt.w_ssim or 0.0)),
+                       "ssim": _f32(cfgt.w_ssim or 0.0),
+                       "scaling": _f32(cfgt.w_scaling_reg or 0.0),
+                       "opacity": _f32(cfgt.w_opacity_reg or 0.0)}
+            self.params, self.opt, self.state, loss, aux = self._train_step(
+                settings, self.params, self.opt, self.state, camera, bg,
+                self._lrs(iteration), weights)
+            self._maintain_constraints(iteration)
+            if cfgt.eval_interval_iter and \
+                    iteration % cfgt.eval_interval_iter == 0:
+                timer.log("evaluation")
+                self._evaluate(iteration)
+            timer.log("statistic + anchor update")
+            self._anchor_update(iteration)
+            if cfgt.log_interval_iter and \
+                    iteration % cfgt.log_interval_iter == 0:
+                timer.log("logging")
+                anchors = int(self.state.alive.sum())
+                self.logger.info(
+                    f"[ITER {iteration}] Loss: {float(loss):.5f}, Anchor "
+                    f"Count: {anchors}, Gaussian Count: "
+                    f"{int(aux['n_gaussians'])}")
+                self.logger.add_scalar("Loss", float(loss), iteration)
+                self.logger.add_scalar("Anchor Count", anchors, iteration)
+            if iteration in (cfgt.save_iterations or []):
+                timer.log("saving")
+                self.savePLY(f"{self.output_dir}/point_cloud/{iteration}.ply")
+            if iteration in (cfgt.checkpoint_iterations or []):
+                self.save_ckpt(f"{self.output_dir}/ckpt/{iteration}.ckpt")
+            timer.stop()
+        self.logger.info(timer.message())
+
+    def _evaluate(self, iteration: int, log_name: str = ""):
+        cfgt = self.config.trainer
+        bg = jnp.asarray(get_color_tensor(cfgt.eval_background or "black",
+                                          self._rng))
+        psnrs, ssims = [], []
+        for camera in self.dataset.getTestDataset():
+            settings = self._settings_for(camera)
+            img, p, s = self._eval_step(settings, self.params, self.state,
+                                        camera.strip_static(), bg)
+            psnrs.append(float(p))
+            ssims.append(float(s))
+        self.logger.info(f"[ITER {iteration}] {log_name} Eval PSNR: "
+                         f"{np.mean(psnrs):.3f}, SSIM: {np.mean(ssims):.3f}")
+        self.logger.add_scalar(f"{log_name} Average PSNR",
+                               float(np.mean(psnrs)), iteration)
+        return float(np.mean(psnrs))
+
+    # -- MLP pretraining (ScaffoldGS_trainer.py:189-264) ---------------------
+    @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1, 2))
+    def _pretrain_step(self, params, opt, gt_pkg, alive, lrs):
+        def loss_fn(p):
+            raw = S.get_raw_output(p, self.model_cfg)
+            m = alive.reshape((-1,) + (1,) * 2)
+            n = jnp.maximum(alive.sum(), 1.0)
+
+            def masked_l1(a, b, dims):
+                return (jnp.abs(a - b) * m).sum() / (n * dims)
+
+            k = self.model_cfg.n_offsets
+            return (masked_l1(raw["g_offset"], gt_pkg["g_offset"], 3 * k)
+                    + masked_l1(raw["g_opacity"], gt_pkg["g_opacity"], k)
+                    + masked_l1(raw["g_cov"], gt_pkg["g_cov"], 7 * k)
+                    + masked_l1(raw["g_color"], gt_pkg["g_color"], 3 * k))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        params, opt = S.adam_update(params, opt, grads, lrs)
+        return params, opt, loss
+
+    def mlp_pretrain(self):
+        """Distill the MLP heads onto a ground-truth gaussian set."""
+        gt = self.dataset.getGTGaussian()
+        voxel_size = self.config.model.voxel_size or 0.001
+        pkg = S.gt_gaussian_to_gt_pkg(
+            gt.xyz, gt.opacity, gt.scale, gt.rotation, gt.shs,
+            voxel_size, self.model_cfg.n_offsets, logger=self.logger)
+
+        anchor = pkg["anchor"]
+        n = anchor.shape[0]
+        cap = (n + 255) // 256 * 256
+
+        def pad(x):
+            return np.concatenate(
+                [x, np.zeros((cap - n,) + x.shape[1:], x.dtype)])
+
+        rng = np.random.default_rng(self.seed)
+        feat = rng.normal(0, self.model_cfg.feat_init_std,
+                          (cap, self.model_cfg.feat_dim)).astype(np.float32)
+        self.params = S.ScaffoldParams(
+            anchor=jnp.asarray(pad(anchor)), anchor_feat=jnp.asarray(feat),
+            mlps=S.init_mlps(self.model_cfg, self.seed))
+        self.state = S.ScaffoldState.create(cap, self.model_cfg.n_offsets,
+                                            voxel_size)
+        self.state = replace(
+            self.state, alive=jnp.asarray(np.arange(cap) < n),
+            anchor_scaling=jnp.full((cap, 3),
+                                    self.model_cfg.max_offset_scale,
+                                    jnp.float32))
+        self.opt = S.ScaffoldAdamState.create(self.params)
+
+        gt_dev = {key: jnp.asarray(pad(np.asarray(val, np.float32)))
+                  for key, val in pkg.items() if key.startswith("g_")}
+        pc = self.config.trainer.pretrain or Config()
+        self.logger.info("Pretraining started")
+        for iteration in range(1, (pc.iterations or 1000) + 1):
+            self.params, self.opt, loss = self._pretrain_step(
+                self.params, self.opt, gt_dev, self.state.alive,
+                self._lrs(iteration))
+            if pc.log_interval_iter and \
+                    iteration % pc.log_interval_iter == 0:
+                self.logger.info(
+                    f"[ITER {iteration}] Loss: {float(loss):.5f}")
+                self.logger.add_scalar("Pretrain Loss", float(loss),
+                                       iteration)
+            if iteration in (pc.save_iterations or []):
+                self.savePLY(
+                    f"{self.output_dir}/point_cloud/pt_{iteration}.ply")
+            if iteration in (pc.checkpoint_iterations or []):
+                self.save_ckpt(f"{self.output_dir}/ckpt/pt_{iteration}.ckpt")
+        self.logger.info("Pretraining finished")
+
+    # -- IO ------------------------------------------------------------------
+    def savePLY(self, path, tile_filtering: bool = True):
+        dec = jax.jit(S.generate_gaussians, static_argnums=(2,))(
+            self.params, self.state, self.model_cfg)
+        C, k = self.params.capacity, self.model_cfg.n_offsets
+        sel = np.asarray((dec["opacity"] > self.state.opacity_threshold)
+                         & self.state.alive[:, None]).reshape(-1)
+        xyz = np.asarray(dec["xyz"]).reshape(-1, 3)
+        if tile_filtering and self.scene_bbox is not None:
+            from ..models.model_utils import get_inside_mask
+            sel &= np.asarray(get_inside_mask(xyz, self.scene_bbox))
+        eps = 1e-10
+        opacity = np.asarray(dec["opacity"]).reshape(-1, 1)[sel]
+        scale = np.asarray(dec["scale"]).reshape(-1, 3)[sel]
+        color = np.asarray(dec["color"]).reshape(-1, 3)[sel]
+        from ..ops.sh import SH_C0
+        g = RawGaussian(
+            xyz=xyz[sel],
+            opacity=inverse_sigmoid_np(np.clip(opacity, eps, 1 - eps)),
+            shs=(color - 0.5) / SH_C0,
+            scale=np.log(np.maximum(scale, eps)),
+            rotation=np.asarray(dec["rot"]).reshape(-1, 4)[sel])
+        self.logger.info(f"Saving {len(g)} gaussians to {path}")
+        Path(path).parent.mkdir(parents=True, exist_ok=True)
+        g.savePLY(path)
+
+    def save_ckpt(self, path):
+        Path(path).parent.mkdir(parents=True, exist_ok=True)
+        blob = dict(
+            params=jax.tree_util.tree_map(np.asarray, self.params),
+            opt=jax.tree_util.tree_map(np.asarray, self.opt),
+            state=jax.tree_util.tree_map(np.asarray, self.state),
+            scene_bbox=self.scene_bbox)
+        with open(path, "wb") as f:
+            pickle.dump(blob, f)
+
+    def load_ckpt(self, path):
+        with open(path, "rb") as f:
+            blob = pickle.load(f)
+        to_dev = lambda x: jnp.asarray(x)
+        self.params = jax.tree_util.tree_map(to_dev, blob["params"])
+        self.opt = jax.tree_util.tree_map(to_dev, blob["opt"])
+        self.state = jax.tree_util.tree_map(to_dev, blob["state"])
+        self.scene_bbox = blob.get("scene_bbox")
