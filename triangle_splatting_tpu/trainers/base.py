@@ -25,6 +25,9 @@ def build_dataset(config: Config, logger: Logger):
     if dtype == "MatrixCity":
         from ..datasets.matrix_city import MatrixCityDatasetFactory
         return MatrixCityDatasetFactory(config, logger)
+    if dtype == "Qijing":
+        from ..datasets.qijing import QijingDatasetFactory
+        return QijingDatasetFactory(config, logger)
     raise ValueError(f"Unknown dataset type: {dtype}")
 
 

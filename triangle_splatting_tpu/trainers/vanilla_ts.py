@@ -602,13 +602,13 @@ class VanillaTSTrainer(BaseTrainer):
     _lpips_model = None
 
     def _lpips(self, img: np.ndarray, gt: np.ndarray) -> float:
-        """VGG LPIPS via torch-CPU (torchmetrics is unavailable; use the
-        classic weighted-activation-distance with torchvision VGG16)."""
+        """VGG LPIPS in JAX (trainers/lpips.py); requires pretrained weights
+        exported to npz (reference metric: trainer_utils.py:349-352)."""
         try:
-            from .lpips_torch import lpips_vgg
-            return lpips_vgg(img, gt)
+            from .lpips import lpips
+            return float(lpips(jnp.clip(jnp.asarray(img), 0, 1), gt))
         except Exception as e:  # pragma: no cover - environment dependent
-            self.logger.warning(f"LPIPS unavailable: {e}")
+            self.logger.warnOnce(f"LPIPS unavailable: {e}")
             return float("nan")
 
     def evaluate(self):
