@@ -31,7 +31,10 @@ def main():
 
     P = 100_000
     W = 800
-    settings = RasterSettings(image_width=W, image_height=W)
+    # pairs_per_triangle=4 is what the trainers' adaptive pair budget
+    # converges to on this scene (no overflow; checked below).
+    settings = RasterSettings(image_width=W, image_height=W,
+                              pairs_per_triangle=4)
     cam = make_camera(W, W)
     s = make_random_scene(P, seed=0, size_range=(0.01, 0.05))
     v = jnp.asarray(s["vertex"])
@@ -44,11 +47,14 @@ def main():
         def loss_fn(vertex, opacity, rgb):
             out = rasterize(vertex, opacity, None, cam, settings, gamma=1.0,
                             background=jnp.ones(3), bg_depth=10.0, colors=rgb)
-            return jnp.abs(out["render"] - target).mean()
-        return jax.grad(loss_fn, argnums=(0, 1, 2))(vertex, opacity, rgb)
+            return jnp.abs(out["render"] - target).mean(), out["overflow"]
+        (_, ov), g = jax.value_and_grad(loss_fn, argnums=(0, 1, 2),
+                                        has_aux=True)(vertex, opacity, rgb)
+        return g, ov
 
-    # warmup/compile
-    g = jax.block_until_ready(fwd_bwd(v, o, c))
+    # warmup/compile; verify the pair budget holds
+    g, overflow = jax.block_until_ready(fwd_bwd(v, o, c))
+    assert not bool(overflow), "pair budget overflow — raise pairs_per_triangle"
     n = 20
     t0 = time.time()
     for _ in range(n):

@@ -42,6 +42,21 @@ class TestForwardParity:
         np.testing.assert_allclose(np.asarray(p["final_T"]),
                                    np.asarray(o["final_T"]), atol=6e-4)
 
+    @pytest.mark.parametrize("th,tw", [(32, 32), (16, 32), (8, 64)])
+    def test_tile_shapes_match_oracle(self, th, tw):
+        """Tile shape is a pure perf knob: any (th, tw) with th*tw % 128 == 0
+        must render identically (tile-major flat output layout)."""
+        settings = RasterSettings(image_width=64, image_height=64,
+                                  tile_h=th, tile_w=tw)
+        scene = make_random_scene(150, seed=0)
+        o = render(scene, "oracle", settings=settings)
+        p = render(scene, "pallas", settings=settings)
+        np.testing.assert_allclose(np.asarray(p["render"]),
+                                   np.asarray(o["render"]), atol=6e-4)
+        np.testing.assert_allclose(np.asarray(p["depth"]),
+                                   np.asarray(o["depth"]), atol=5e-2)
+        assert int(jnp.abs(o["n_contrib"] - p["n_contrib"]).max()) == 0
+
     def test_n_contrib_exact(self):
         """Early-termination accounting must match the sequential semantics
         bit-exactly (opaque stacked scene forces T to cross 1e-4)."""

@@ -361,18 +361,23 @@ def _fwd_kernel(
 
     jax.lax.while_loop(lambda s: s < nslabs, zero_body, s_final)
 
+    # Outputs are tile-major flat blocks (1, 8, 128) of (num_tiles, 8, 128)
+    # arrays — the (8, 128) view of the flat 1024-pixel vector. This keeps
+    # the block shape vreg-conformant for ANY (tile_h, tile_w) with
+    # th*tw == 1024; the host reassembles tiles into the image.
+    rows = npix // 128
     T_fin = accum[7:8, :]
-    color_ref[0:1, :, :] = (accum[0:1, :] + T_fin * params[1]).reshape(1, th, tw)
-    color_ref[1:2, :, :] = (accum[1:2, :] + T_fin * params[2]).reshape(1, th, tw)
-    color_ref[2:3, :, :] = (accum[2:3, :] + T_fin * params[3]).reshape(1, th, tw)
+    color_ref[0:1, 0, :, :] = (accum[0:1, :] + T_fin * params[1]).reshape(1, rows, 128)
+    color_ref[1:2, 0, :, :] = (accum[1:2, :] + T_fin * params[2]).reshape(1, rows, 128)
+    color_ref[2:3, 0, :, :] = (accum[2:3, :] + T_fin * params[3]).reshape(1, rows, 128)
     if rich:
-        depth_ref[:, :] = (accum[3:4, :] + T_fin * bg_depth).reshape(th, tw)
-        normal_ref[:, :, :] = accum[4:7, :].reshape(3, th, tw)
+        depth_ref[0, :, :] = (accum[3:4, :] + T_fin * bg_depth).reshape(rows, 128)
+        normal_ref[:, 0, :, :] = accum[4:7, :].reshape(3, rows, 128)
     else:
-        depth_ref[:, :] = (T_fin * bg_depth).reshape(th, tw)
-        normal_ref[:, :, :] = jnp.zeros((3, th, tw), jnp.float32)
-    finalT_ref[:, :] = T_fin.reshape(th, tw)
-    ncontrib_ref[:, :] = ncnt[:, :].reshape(th, tw)
+        depth_ref[0, :, :] = (T_fin * bg_depth).reshape(rows, 128)
+        normal_ref[:, 0, :, :] = jnp.zeros((3, rows, 128), jnp.float32)
+    finalT_ref[0, :, :] = T_fin.reshape(rows, 128)
+    ncontrib_ref[0, :, :] = ncnt[:, :].reshape(rows, 128)
 
 
 def blend_forward(pairs: jax.Array, tile_starts: jax.Array,
@@ -396,22 +401,28 @@ def blend_forward(pairs: jax.Array, tile_starts: jax.Array,
     grid_h = pl.cdiv(image_height, tile_h)
     mp_pad = pairs.shape[1]
     npix = tile_h * tile_w
+    if npix % 128 != 0:
+        raise ValueError(f"tile_h * tile_w must be a multiple of 128, got {npix}")
+    rows = npix // 128
     Hp, Wp = grid_h * tile_h, grid_w * tile_w
+    n_tiles = grid_h * grid_w
 
     kernel = functools.partial(_fwd_kernel, tile_h=tile_h, tile_w=tile_w,
                                grid_w=grid_w, width=image_width,
                                height=image_height, rich=rich,
                                variant=variant)
+    tmap = lambda i, j, *_: (i * grid_w + j, 0, 0)
+    tmap3 = lambda i, j, *_: (0, i * grid_w + j, 0, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(grid_h, grid_w),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
-            pl.BlockSpec((3, tile_h, tile_w), lambda i, j, *_: (0, i, j)),
-            pl.BlockSpec((tile_h, tile_w), lambda i, j, *_: (i, j)),
-            pl.BlockSpec((3, tile_h, tile_w), lambda i, j, *_: (0, i, j)),
-            pl.BlockSpec((tile_h, tile_w), lambda i, j, *_: (i, j)),
-            pl.BlockSpec((tile_h, tile_w), lambda i, j, *_: (i, j)),
+            pl.BlockSpec((3, 1, rows, 128), tmap3),
+            pl.BlockSpec((1, rows, 128), tmap),
+            pl.BlockSpec((3, 1, rows, 128), tmap3),
+            pl.BlockSpec((1, rows, 128), tmap),
+            pl.BlockSpec((1, rows, 128), tmap),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
@@ -424,18 +435,28 @@ def blend_forward(pairs: jax.Array, tile_starts: jax.Array,
         ],
     )
     out_shapes = [
-        jax.ShapeDtypeStruct((3, Hp, Wp), jnp.float32),
-        jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
-        jax.ShapeDtypeStruct((3, Hp, Wp), jnp.float32),
-        jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
-        jax.ShapeDtypeStruct((Hp, Wp), jnp.int32),
+        jax.ShapeDtypeStruct((3, n_tiles, rows, 128), jnp.float32),
+        jax.ShapeDtypeStruct((n_tiles, rows, 128), jnp.float32),
+        jax.ShapeDtypeStruct((3, n_tiles, rows, 128), jnp.float32),
+        jax.ShapeDtypeStruct((n_tiles, rows, 128), jnp.float32),
+        jax.ShapeDtypeStruct((n_tiles, rows, 128), jnp.int32),
         jax.ShapeDtypeStruct((2, mp_pad), jnp.float32),
     ]
     color, depth, normal, final_T, n_contrib, pair_contrib = pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=out_shapes, interpret=interpret,
     )(tile_starts, tile_counts, params, pairs)
 
+    # tile-major (T, 8, 128) -> image (Hp, Wp); the flat 1024 vector is the
+    # row-major (tile_h, tile_w) pixel block.
     H, W = image_height, image_width
+
+    def untile(x):
+        return x.reshape(x.shape[:-3] + (grid_h, grid_w, tile_h, tile_w)) \
+            .swapaxes(-3, -2).reshape(x.shape[:-3] + (Hp, Wp))
+
+    color, depth, normal, final_T, n_contrib = (
+        untile(color), untile(depth), untile(normal), untile(final_T),
+        untile(n_contrib))
     return (color[:, :H, :W], depth[:H, :W], normal[:, :H, :W],
             final_T[:H, :W], n_contrib[:H, :W], pair_contrib)
 
@@ -449,11 +470,11 @@ def _bwd_kernel(
     tile_starts, tile_counts, params,
     # inputs
     pairs_hbm,            # (16, MP) HBM, field-major
-    g_color_ref,          # (3, TH, TW) VMEM block
-    g_depth_ref,          # (TH, TW)
-    g_normal_ref,         # (3, TH, TW)
-    finalT_ref,           # (TH, TW)
-    ncontrib_ref,         # (TH, TW) int32
+    g_color_ref,          # (3, 1, 8, 128) VMEM block (tile-major flat)
+    g_depth_ref,          # (1, 8, 128)
+    g_normal_ref,         # (3, 1, 8, 128)
+    finalT_ref,           # (1, 8, 128)
+    ncontrib_ref,         # (1, 8, 128) int32
     # outputs
     pair_grads_hbm,       # (16, MP) HBM — via DMA
     # scratch
@@ -480,11 +501,11 @@ def _bwd_kernel(
 
     px, py = _pixel_coords(tx, ty, th, tw)
 
-    g_col = g_color_ref[:, :, :].reshape(3, npix)
-    g_dep = g_depth_ref[:, :].reshape(1, npix)
-    g_nrm = g_normal_ref[:, :, :].reshape(3, npix)
-    final_T = finalT_ref[:, :].reshape(1, npix)
-    n_contrib = ncontrib_ref[:, :].reshape(1, npix)
+    g_col = g_color_ref[:, 0, :, :].reshape(3, npix)
+    g_dep = g_depth_ref[0, :, :].reshape(1, npix)
+    g_nrm = g_normal_ref[:, 0, :, :].reshape(3, npix)
+    final_T = finalT_ref[0, :, :].reshape(1, npix)
+    n_contrib = ncontrib_ref[0, :, :].reshape(1, npix)
 
     # Right-hand side matrix for the per-pair gradient matmuls.
     # 2D rows: [1, px, py, g_r, g_g, g_b, g_dep, g_nx, g_ny, g_nz].
@@ -781,28 +802,38 @@ def blend_backward(pairs: jax.Array, tile_starts: jax.Array,
     grid_h = pl.cdiv(image_height, tile_h)
     mp_pad = pairs.shape[1]
     npix = tile_h * tile_w
+    if npix % 128 != 0:
+        raise ValueError(f"tile_h * tile_w must be a multiple of 128, got {npix}")
+    rows = npix // 128
     Hp, Wp = grid_h * tile_h, grid_w * tile_w
 
     def pad_hw(x):
+        """(…, H, W) -> tile-major (…, T, 8, 128) (inverse of untile)."""
         pads = [(0, Hp - x.shape[-2]), (0, Wp - x.shape[-1])]
         if x.ndim == 3:
             pads = [(0, 0)] + pads
-        return jnp.pad(x, pads)
+        x = jnp.pad(x, pads)
+        lead = x.shape[:-2]
+        x = x.reshape(lead + (grid_h, tile_h, grid_w, tile_w)) \
+            .swapaxes(-3, -2)
+        return x.reshape(lead + (grid_h * grid_w, rows, 128))
 
     kernel = functools.partial(_bwd_kernel, tile_h=tile_h, tile_w=tile_w,
                                grid_w=grid_w, width=image_width,
                                height=image_height, rich=rich,
                                variant=variant)
+    tmap = lambda i, j, *_: (i * grid_w + j, 0, 0)
+    tmap3 = lambda i, j, *_: (0, i * grid_w + j, 0, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(grid_h, grid_w),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((3, tile_h, tile_w), lambda i, j, *_: (0, i, j)),
-            pl.BlockSpec((tile_h, tile_w), lambda i, j, *_: (i, j)),
-            pl.BlockSpec((3, tile_h, tile_w), lambda i, j, *_: (0, i, j)),
-            pl.BlockSpec((tile_h, tile_w), lambda i, j, *_: (i, j)),
-            pl.BlockSpec((tile_h, tile_w), lambda i, j, *_: (i, j)),
+            pl.BlockSpec((3, 1, rows, 128), tmap3),
+            pl.BlockSpec((1, rows, 128), tmap),
+            pl.BlockSpec((3, 1, rows, 128), tmap3),
+            pl.BlockSpec((1, rows, 128), tmap),
+            pl.BlockSpec((1, rows, 128), tmap),
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[

@@ -49,22 +49,26 @@ def safe_norm(x, axis=-1):
 class RasterSettings:
     """Static rasterization configuration (hashable; jit-static).
 
-    Tiles are 8x128 pixels by default — one native TPU VPU register tile —
-    instead of the reference's 16x16 CUDA blocks (src/config.h:5-6). The
-    binning/membership semantics are identical, only the tile geometry
-    changes (which pixels see the faint ecc>3 falloff ring outside a
-    triangle's dilated bbox — sub-1/255-alpha differences).
+    Tiles are 32x32 pixels by default, close to the reference's 16x16 CUDA
+    blocks (src/config.h:5-6). The kernel handles any (tile_h, tile_w) with
+    tile_h*tile_w % 128 == 0 — pixels live flat on the lane axis, so tile
+    geometry is a pure perf knob: squarer tiles minimize the tiles a splat
+    bbox touches (v5e sweep @800x800/100k: 32x32 -> 2.7 pairs/triangle vs
+    4.2 at 8x128, fwd+bwd 42 ms vs 66 ms). Binning/membership semantics
+    are identical across shapes (only which pixels see the faint ecc>3
+    falloff ring differs — sub-1/255-alpha).
     """
     image_width: int = field(metadata=dict(static=True), default=800)
     image_height: int = field(metadata=dict(static=True), default=800)
-    tile_h: int = field(metadata=dict(static=True), default=8)
-    tile_w: int = field(metadata=dict(static=True), default=128)
+    tile_h: int = field(metadata=dict(static=True), default=32)
+    tile_w: int = field(metadata=dict(static=True), default=32)
     back_culling: bool = field(metadata=dict(static=True), default=False)
     rich_info: bool = field(metadata=dict(static=True), default=True)
     max_sh_degree: int = field(metadata=dict(static=True), default=3)
     rasterizer_type: str = field(metadata=dict(static=True), default="2D")
     # Pair budget for tile binning, as a multiple of the triangle count.
-    pairs_per_triangle: int = field(metadata=dict(static=True), default=8)
+    # Binning reports overflow; trainers grow the budget adaptively.
+    pairs_per_triangle: int = field(metadata=dict(static=True), default=6)
 
     @property
     def grid_w(self) -> int:

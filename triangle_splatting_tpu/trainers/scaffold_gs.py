@@ -105,10 +105,12 @@ class ScaffoldGSTrainer(BaseTrainer):
         return lrs
 
     def _settings_for(self, camera: Camera) -> RasterSettings:
+        if not hasattr(self, "_ppt"):
+            self._ppt = self.config.model.pairs_per_triangle or 6
         return RasterSettings(
             image_width=camera.image_width, image_height=camera.image_height,
             max_sh_degree=0,
-            pairs_per_triangle=self.config.model.pairs_per_triangle or 8)
+            pairs_per_triangle=self._ppt)
 
     @functools.partial(jax.jit, static_argnums=(0, 1),
                        donate_argnums=(2, 3, 4))
@@ -256,6 +258,11 @@ class ScaffoldGSTrainer(BaseTrainer):
                     f"{int(aux['n_gaussians'])}")
                 self.logger.add_scalar("Loss", float(loss), iteration)
                 self.logger.add_scalar("Anchor Count", anchors, iteration)
+                if bool(aux["overflow"]):
+                    self._ppt = min(self._ppt * 2, 32)
+                    self.logger.warning(
+                        "pair budget overflow — growing pairs_per_triangle "
+                        f"to {self._ppt} (one-time recompile)")
             if iteration in (cfgt.save_iterations or []):
                 timer.log("saving")
                 self.savePLY(f"{self.output_dir}/point_cloud/{iteration}.ply")

@@ -83,10 +83,12 @@ class VanillaGSTrainer(BaseTrainer):
         return lrs
 
     def _settings_for(self, camera: Camera) -> RasterSettings:
+        if not hasattr(self, "_ppt"):
+            self._ppt = self.config.model.pairs_per_triangle or 6
         return RasterSettings(
             image_width=camera.image_width, image_height=camera.image_height,
             max_sh_degree=self.model_cfg.max_sh_degree,
-            pairs_per_triangle=self.config.model.pairs_per_triangle or 8)
+            pairs_per_triangle=self._ppt)
 
     @functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2, 3, 4))
     def _train_step(self, settings, params, opt, state, camera, background,
@@ -212,6 +214,11 @@ class VanillaGSTrainer(BaseTrainer):
                 self.logger.info(f"[ITER {iteration}] Loss: {float(loss):.5f}, "
                                  f"Gaussians: {int(self.state.alive.sum())}")
                 self.logger.add_scalar("Loss", float(loss), iteration)
+                if bool(aux["overflow"]):
+                    self._ppt = min(self._ppt * 2, 32)
+                    self.logger.warning(
+                        "pair budget overflow — growing pairs_per_triangle "
+                        f"to {self._ppt} (one-time recompile)")
             if iteration in (cfgt.save_iterations or []):
                 timer.log("saving")
                 self.savePLY(f"{self.output_dir}/point_cloud/{iteration}.ply")

@@ -134,12 +134,14 @@ class VanillaTSTrainer(BaseTrainer):
         return lrs
 
     def _settings_for(self, camera: Camera) -> RasterSettings:
+        if not hasattr(self, "_ppt"):
+            self._ppt = self.config.model.pairs_per_triangle or 6
         return RasterSettings(
             image_width=camera.image_width, image_height=camera.image_height,
             max_sh_degree=self.model_cfg.max_sh_degree,
             back_culling=self.model_cfg.back_culling,
             rasterizer_type=self.model_cfg.rasterizer_type,
-            pairs_per_triangle=self.config.model.pairs_per_triangle or 8)
+            pairs_per_triangle=self._ppt)
 
     # ------------------------------------------------------------------
     # jitted steps
@@ -530,8 +532,13 @@ class VanillaTSTrainer(BaseTrainer):
                 self.logger.add_scalar("Training Time (min)",
                                        timer.total_duration() / 60, iteration)
                 if bool(aux["overflow"]):
-                    self.logger.warning("pair budget overflow this step — "
-                                        "consider raising pairs_per_triangle")
+                    # adaptive pair budget: the reference reallocates its
+                    # binning buffers dynamically (rasterizer_impl resize);
+                    # we grow the static budget and pay one retrace
+                    self._ppt = min(self._ppt * 2, 32)
+                    self.logger.warning(
+                        "pair budget overflow — growing pairs_per_triangle "
+                        f"to {self._ppt} (one-time recompile)")
 
             if cfgt.histogram_interval_iter and iteration % cfgt.histogram_interval_iter == 0:
                 timer.log("histogram")
