@@ -11,9 +11,9 @@ Mapping CUDA -> TPU:
   128 triangles on the sublane axis
 - __shared__ batch fetch of 256 triangles    -> double-buffered async DMA of
   (src/forward.cu:262-291)                      (16, SLAB) field slabs
-- sequential per-pixel transmittance loop    -> log-space prefix products on
-                                                the MXU: T = exp(L @ log(1-a))
-                                                with a constant triangular L
+- sequential per-pixel transmittance loop    -> in-register Hillis-Steele
+                                                prefix/suffix products of
+                                                (1-a) over the slab axis
 - per-channel accumulation loops             -> ONE MXU matmul per slab:
                                                 fields[7,S] @ contrib[S,NPIX]
 - early __syncthreads_count(done) exit       -> while_loop stops when
@@ -103,7 +103,19 @@ def _fld(buf_t, k):
     return buf_t[:, k:k + 1]
 
 
-def _alpha_terms(buf_t, px, py, gamma, in_range, variant="2D"):
+def _pxy1(px, py):
+    """(3, NPIX) stack [1; px; py] (kept for the backward R-matrix build).
+
+    Note: evaluating the affine barycentric forms on the MXU
+    ((S,3)@(3,NPIX) at HIGHEST precision) was MEASURED SLOWER than the VPU
+    broadcasts (48.4 vs 41.7 ms fwd+bwd @800^2/100k on v5e) — the
+    contraction dim pads to a full 128 MXU tile and HIGHEST costs 3 passes,
+    so each tiny matmul prices like a full T-scan pass. Keep affine eval
+    on the VPU."""
+    return jnp.concatenate([jnp.ones_like(px), px, py], axis=0)
+
+
+def _alpha_terms(buf_t, px, py, gamma, in_range, variant="2D", pxy1=None):
     """Shared recompute: barycentrics -> masked alpha. Shapes (S, NPIX).
 
     Returns (..., invD): the reciprocal plane denominator for "3D", None
@@ -185,6 +197,30 @@ def _row_sum(x):
     return jnp.sum(x, axis=1, keepdims=True)
 
 
+def _prefix_prod(x):
+    """Inclusive prefix product along axis 0 (static Hillis-Steele: log2(S)
+    shifted multiplies — cheaper than the exp(L @ log(x)) MXU trick because
+    it drops two transcendentals per pair-pixel)."""
+    s = x.shape[0]
+    k = 1
+    while k < s:
+        pad = jnp.ones((k,) + x.shape[1:], x.dtype)
+        x = x * jnp.concatenate([pad, x[:-k]], axis=0)
+        k *= 2
+    return x
+
+
+def _suffix_prod(x):
+    """Inclusive suffix product along axis 0."""
+    s = x.shape[0]
+    k = 1
+    while k < s:
+        pad = jnp.ones((k,) + x.shape[1:], x.dtype)
+        x = x * jnp.concatenate([x[k:], pad], axis=0)
+        k *= 2
+    return x
+
+
 # ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------
@@ -228,6 +264,7 @@ def _fwd_kernel(
     cW, cH = (1.0 - width) / 2.0, (1.0 - height) / 2.0
 
     px, py = _pixel_coords(tx, ty, th, tw)
+    pxy1 = _pxy1(px, py)
     inside = (px < width) & (py < height)
 
     accum[:, :] = jnp.zeros((8, npix), jnp.float32)
@@ -235,7 +272,6 @@ def _fwd_kernel(
     ncnt[:, :] = jnp.zeros((1, npix), jnp.int32)
 
     e_iota = jax.lax.broadcasted_iota(jnp.int32, (SLAB, 1), 0)
-    L = _tri_lower(SLAB)
 
     def in_dma(slot, s):
         off = pl.multiple_of(start + s * SLAB, SLAB)
@@ -275,11 +311,11 @@ def _fwd_kernel(
             invD = None
         else:
             a1, a2, a3, eccs, expp, alpha_un, alpha, ok, invD = _alpha_terms(
-                buf_t, px, py, gamma, in_range, variant)
+                buf_t, px, py, gamma, in_range, variant, pxy1=pxy1)
 
         one_m = 1.0 - alpha
         # Prefix transmittance in log space on the MXU: exp(L @ log(1-a)).
-        cp_incl = jnp.exp(jnp.dot(L, jnp.log(one_m), **_MM))
+        cp_incl = _prefix_prod(one_m)
         cp_excl = cp_incl / one_m                               # exclusive
         T_carry = accum[7:8, :]
         T_excl = T_carry * cp_excl
@@ -500,6 +536,7 @@ def _bwd_kernel(
     cW, cH = (1.0 - width) / 2.0, (1.0 - height) / 2.0
 
     px, py = _pixel_coords(tx, ty, th, tw)
+    pxy1 = _pxy1(px, py)
 
     g_col = g_color_ref[:, 0, :, :].reshape(3, npix)
     g_dep = g_depth_ref[0, :, :].reshape(1, npix)
@@ -537,7 +574,6 @@ def _bwd_kernel(
     max_nc = jnp.max(n_contrib)
 
     e_iota = jax.lax.broadcasted_iota(jnp.int32, (SLAB, 1), 0)
-    U = _tri_upper(SLAB)
     U_strict = _tri_upper_strict(SLAB)
 
     def in_dma(slot, s):
@@ -587,16 +623,18 @@ def _bwd_kernel(
                 invD = None
             else:
                 (a1, a2, a3, eccs, expp, alpha_un, alpha, ok,
-                 invD) = _alpha_terms(buf_t, px, py, gamma, in_range, variant)
+                 invD) = _alpha_terms(buf_t, px, py, gamma, in_range, variant,
+                                      pxy1=pxy1)
             processed = e < n_contrib                          # (S, NPIX)
             alpha = jnp.where(processed, alpha, 0.0)
             ok = ok & processed
 
             one_m = 1.0 - alpha
-            # Reverse transmittance reconstruction in log space on the MXU:
-            # T_excl[s] = T_back * prod_{k>=s} 1/(1-a_k) = T_back*exp(-U@log).
-            log1m = jnp.log(one_m)
-            R_rev = jnp.exp(-jnp.dot(U, log1m, **_MM))         # (S, NPIX)
+            # Reverse transmittance reconstruction:
+            # T_excl[s] = T_back * prod_{k>=s} 1/(1-a_k) — an in-register
+            # suffix product (log2(S) shifted multiplies) + one reciprocal,
+            # dropping the log/exp pair of the former exp(-U@log) MXU form.
+            R_rev = 1.0 / _suffix_prod(one_m)                  # (S, NPIX)
             T_back = carry_ref[1:2, :]
             T_excl = T_back * R_rev
             contrib = alpha * T_excl
