@@ -6,9 +6,9 @@ TPU-native replacement for the hot CUDA kernels ``FORWARD::renderCUDA``
 
 Mapping CUDA -> TPU:
 
-- one 16x16 thread block per tile            -> one grid step per 8x128 tile;
-  inside a step, pixels live FLAT on the lane axis ([S, 1024]) and a SLAB of
-  128 triangles on the sublane axis
+- one 16x16 thread block per tile            -> one grid step per tile
+  (32x32 px default); inside a step, pixels live FLAT on the lane axis
+  ([S, NPIX]) and a SLAB of 128 triangles on the sublane axis
 - __shared__ batch fetch of 256 triangles    -> double-buffered async DMA of
   (src/forward.cu:262-291)                      (16, SLAB) field slabs
 - sequential per-pixel transmittance loop    -> in-register Hillis-Steele
