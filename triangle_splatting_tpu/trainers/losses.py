@@ -164,3 +164,21 @@ def psnr(img1, img2, mask=None):
     else:
         mse = (((img1 - img2) ** 2) * mask).sum() / (mask.sum() + 1e-10) + 1e-10
     return 20.0 * jnp.log10(1.0 / jnp.sqrt(mse))
+
+
+class DiffusionLoss:
+    """Score-distillation loss against a Stable Diffusion prior
+    (reference trainer_utils.py:260-320 — declared there and UNUSED by
+    every shipped config). Gated: the ldm/stable-diffusion stack is not in
+    the TPU image; constructing this raises with guidance. Kept so the
+    config surface matches the reference inventory.
+    """
+
+    def __init__(self, ckpt_path=None, clip_ckpt_path=None,
+                 ddim_num_steps=50, ddim_eta=0.0, cfg_scale=1.0,
+                 strength=0.5):
+        raise NotImplementedError(
+            "DiffusionLoss requires the stablediffusion/ldm stack, which is "
+            "unavailable in this image (and the reference never enables it "
+            "in any config). Port the DDIM sampler to flax/diffusers to "
+            "activate.")
