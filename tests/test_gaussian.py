@@ -149,3 +149,34 @@ class TestGSModel:
             params, opt, loss = step(params, opt, state)
             losses.append(float(loss))
         assert losses[-1] < losses[0] * 0.8, (losses[0], losses[-1])
+
+
+class TestDeadSlotGradients:
+    def test_no_nan_grads_from_dead_slots(self):
+        """Dead capacity slots park at the origin == camera center in the
+        default test camera; the SH view-direction normalize and the
+        covariance build must keep their VJPs finite there (zero-direction
+        norm backward is 0/0 without the in-sqrt eps; zero quats make
+        singular covariances)."""
+        import jax
+        from triangle_splatting_tpu.ops.projection import RasterSettings
+        from triangle_splatting_tpu.utils.testing import make_camera
+
+        rng = np.random.default_rng(5)
+        n, cap = 30, 64
+        cfg = G.GSModelConfig(max_sh_degree=1)
+        params, state = G.create_from_points(
+            rng.normal(size=(n, 3)).astype(np.float32),
+            rng.uniform(size=(n, 3)).astype(np.float32), cfg, capacity=cap)
+        cam = make_camera(64, 64)
+        settings = RasterSettings(image_width=64, image_height=64,
+                                  max_sh_degree=1)
+
+        def loss(p):
+            return G.forward(p, state, cam, jnp.zeros(3), cfg, settings,
+                             impl="oracle")["render"].mean()
+
+        g = jax.grad(loss)(params)
+        for name in ("xyz", "scaling", "rotation", "opacity", "f_dc",
+                     "f_rest"):
+            assert np.isfinite(np.asarray(getattr(g, name))).all(), name

@@ -182,9 +182,11 @@ def create_from_points(points: np.ndarray, colors: np.ndarray,
     def pad(x):
         return np.concatenate([x, np.zeros((cap - n,) + x.shape[1:], x.dtype)])
 
+    pad_rots = pad(rots)
+    pad_rots[n:, 0] = 1.0      # identity quats in dead slots (no zero covs)
     params = GaussianParams(
         xyz=jnp.asarray(pad(points)), scaling=jnp.asarray(pad(scales)),
-        rotation=jnp.asarray(pad(rots)), opacity=jnp.asarray(pad(opac)),
+        rotation=jnp.asarray(pad_rots), opacity=jnp.asarray(pad(opac)),
         f_dc=jnp.asarray(pad(f_dc)), f_rest=jnp.asarray(pad(f_rest)))
     state = GaussianState.create(cap)
     state = replace(state, alive=jnp.asarray(np.arange(cap) < n))

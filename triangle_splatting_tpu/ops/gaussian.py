@@ -77,6 +77,14 @@ def preprocess_gaussian(xyz: jnp.ndarray, scale: jnp.ndarray,
     grid_w, grid_h = settings.grid_w, settings.grid_h
     P = xyz.shape[0]
 
+    if alive_mask is not None:
+        # Dead fixed-capacity slots can hold degenerate values (zero quats
+        # -> singular covariance -> NaN conic grads that would poison Adam
+        # moments through the masked-out rows); substitute benign ones.
+        unit_q = jnp.zeros((1, 4), rotation.dtype).at[0, 0].set(1.0)
+        rotation = jnp.where(alive_mask[:, None], rotation, unit_q)
+        scale = jnp.where(alive_mask[:, None], scale, 1.0)
+
     def _apply(M, pts):
         out = M[:, 0] * pts[:, 0:1] + M[:, 1] * pts[:, 1:2] + M[:, 2] * pts[:, 2:3]
         return out + M[:, 3]

@@ -101,10 +101,13 @@ def eval_sh(sh: jnp.ndarray, positions: jnp.ndarray, campos: jnp.ndarray,
         (P, 3) colors, clamped at zero after the +0.5 shift.
     """
     d = positions - campos[None, :]
-    # Safe normalize: degenerate (zero) directions — e.g. dead capacity
-    # slots parked at the origin — must not produce NaNs.
-    n = jnp.linalg.norm(d, axis=-1, keepdims=True)
-    d = d / jnp.maximum(n, 1e-12)
+    # Grad-safe normalize: degenerate (zero) directions — dead capacity
+    # slots parked at the camera center — must not produce NaNs. The eps
+    # lives INSIDE the sqrt so the VJP at d = 0 is finite too
+    # (jnp.linalg.norm's backward is 0/0 there even if the forward is
+    # clamped afterwards).
+    n = jnp.sqrt(jnp.sum(d * d, axis=-1, keepdims=True) + 1e-24)
+    d = d / n
     basis = sh_basis(d, max_degree)                        # (P, K)
     basis = basis * band_mask(active_degree, max_degree)[None, :]
     rgb = jnp.einsum("pk,pkc->pc", basis, sh) + 0.5
