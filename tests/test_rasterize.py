@@ -116,6 +116,32 @@ class TestBackwardParity:
         # gradients actually flow
         assert float(jnp.abs(g_p[0]).max()) > 0
 
+    def test_final_T_cotangent(self):
+        """Losses may differentiate final_T directly (the depth-sharded
+        composite weights farther shards by it); the custom VJP must route
+        that cotangent through the suffix accumulator."""
+        P = 100
+        scene = make_random_scene(P, seed=9, opacity_range=(0.2, 0.5))
+
+        def grads(impl):
+            def loss_fn(vertex, opacity):
+                out = rasterize(vertex, opacity, None, CAM, SETTINGS,
+                                gamma=1.0, background=jnp.zeros(3),
+                                bg_depth=0.0,
+                                colors=jnp.asarray(scene["rgb"]),
+                                impl=impl, interpret=True)
+                return (out["final_T"] ** 2).mean()
+            return jax.grad(loss_fn, argnums=(0, 1))(
+                jnp.asarray(scene["vertex"]), jnp.asarray(scene["opacity"]))
+
+        g_o = grads("oracle")
+        g_p = grads("pallas")
+        for name, go, gp in zip(["vertex", "opacity"], g_o, g_p):
+            ref = max(float(jnp.abs(go).max()), 1e-12)
+            rel = float(jnp.abs(go - gp).max()) / ref
+            assert rel < 5e-3, (name, rel)
+        assert float(jnp.abs(g_p[1]).max()) > 0
+
 
 class Test3DVariant:
     SETTINGS3 = RasterSettings(image_width=64, image_height=64,

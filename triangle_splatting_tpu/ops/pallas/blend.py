@@ -506,11 +506,12 @@ def _bwd_kernel(
     tile_starts, tile_counts, params,
     # inputs
     pairs_hbm,            # (16, MP) HBM, field-major
-    g_color_ref,          # (3, 1, 8, 128) VMEM block (tile-major flat)
-    g_depth_ref,          # (1, 8, 128)
-    g_normal_ref,         # (3, 1, 8, 128)
-    finalT_ref,           # (1, 8, 128)
-    ncontrib_ref,         # (1, 8, 128) int32
+    g_color_ref,          # (3, 1, rows, 128) VMEM block (tile-major flat)
+    g_depth_ref,          # (1, rows, 128)
+    g_normal_ref,         # (3, 1, rows, 128)
+    g_finalT_ref,         # (1, rows, 128) — cotangent of final_T itself
+    finalT_ref,           # (1, rows, 128)
+    ncontrib_ref,         # (1, rows, 128) int32
     # outputs
     pair_grads_hbm,       # (16, MP) HBM — via DMA
     # scratch
@@ -541,6 +542,7 @@ def _bwd_kernel(
     g_col = g_color_ref[:, 0, :, :].reshape(3, npix)
     g_dep = g_depth_ref[0, :, :].reshape(1, npix)
     g_nrm = g_normal_ref[:, 0, :, :].reshape(3, npix)
+    g_ft = g_finalT_ref[0, :, :].reshape(1, npix)
     final_T = finalT_ref[0, :, :].reshape(1, npix)
     n_contrib = ncontrib_ref[0, :, :].reshape(1, npix)
 
@@ -560,10 +562,13 @@ def _bwd_kernel(
         R = jnp.concatenate([ones_row, px, py, g_col, gn0, gn1, gn2, g_dep],
                             axis=0)
 
-    # Suffix accumulator A starts with the background term
-    # (everything "behind" the last entry): T_final * (bg . g).
+    # Suffix accumulator A starts with the background term (everything
+    # "behind" the last entry): T_final * (bg . g). A direct cotangent on
+    # final_T (e.g. the depth-sharded composite differentiates occlusion of
+    # farther shards through it) enters identically — final_T is linear in
+    # the same suffix product the background ride on.
     bg_dot = (params[1] * g_col[0:1] + params[2] * g_col[1:2]
-              + params[3] * g_col[2:3])
+              + params[3] * g_col[2:3]) + g_ft
     if rich:
         bg_dot = bg_dot + bg_depth * g_dep
     carry_ref[0:1, :] = final_T * bg_dot    # A
@@ -832,6 +837,7 @@ def blend_backward(pairs: jax.Array, tile_starts: jax.Array,
                    tile_counts: jax.Array, params: jax.Array,
                    final_T: jax.Array, n_contrib: jax.Array,
                    g_color: jax.Array, g_depth: jax.Array, g_normal: jax.Array,
+                   g_finalT: jax.Array | None = None,
                    *, image_width: int, image_height: int, tile_h: int,
                    tile_w: int, rich: bool = True, variant: str = "2D",
                    interpret: bool = False) -> jax.Array:
@@ -844,6 +850,9 @@ def blend_backward(pairs: jax.Array, tile_starts: jax.Array,
         raise ValueError(f"tile_h * tile_w must be a multiple of 128, got {npix}")
     rows = npix // 128
     Hp, Wp = grid_h * tile_h, grid_w * tile_w
+
+    if g_finalT is None:
+        g_finalT = jnp.zeros_like(g_depth)
 
     def pad_hw(x):
         """(…, H, W) -> tile-major (…, T, 8, 128) (inverse of untile)."""
@@ -872,6 +881,7 @@ def blend_backward(pairs: jax.Array, tile_starts: jax.Array,
             pl.BlockSpec((3, 1, rows, 128), tmap3),
             pl.BlockSpec((1, rows, 128), tmap),
             pl.BlockSpec((1, rows, 128), tmap),
+            pl.BlockSpec((1, rows, 128), tmap),
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
@@ -886,6 +896,7 @@ def blend_backward(pairs: jax.Array, tile_starts: jax.Array,
         kernel, grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((NUM_FIELDS, mp_pad), jnp.float32)],
         interpret=interpret,
-    )(tile_starts, tile_counts, params, pairs, pad_hw(g_color), pad_hw(g_depth),
-      pad_hw(g_normal), pad_hw(final_T), pad_hw(n_contrib))
+    )(tile_starts, tile_counts, params, pairs, pad_hw(g_color),
+      pad_hw(g_depth), pad_hw(g_normal), pad_hw(g_finalT), pad_hw(final_T),
+      pad_hw(n_contrib))
     return pair_grads

@@ -143,10 +143,10 @@ def _blend_fwd(fields, tile_starts, tile_counts, params, static_cfg):
 def _blend_bwd(static_cfg, res, cts):
     width, height, tile_h, tile_w, rich, variant, interpret = static_cfg
     fields, tile_starts, tile_counts, params, final_T, n_contrib = res
-    g_color, g_depth, g_normal, _g_T, _g_nc, _g_pc = cts
+    g_color, g_depth, g_normal, g_T, _g_nc, _g_pc = cts
     pair_grads = blend_backward(
         fields, tile_starts, tile_counts, params, final_T, n_contrib,
-        g_color, g_depth, g_normal,
+        g_color, g_depth, g_normal, g_T,
         image_width=width, image_height=height, tile_h=tile_h, tile_w=tile_w,
         rich=rich, variant=variant, interpret=interpret)
     zero_starts = np.zeros(tile_starts.shape, jax.dtypes.float0)
