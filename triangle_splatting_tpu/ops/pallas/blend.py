@@ -671,7 +671,9 @@ def _bwd_kernel(
 
             w = contrib * gdot
             # Suffix sum over later entries via strict-upper MXU matmul.
-            A = carry_ref[0:1, :] + jnp.dot(U_strict, w, **_MM)  # (S, NPIX)
+            A = carry_ref[0:1, :] + jnp.dot(
+                U_strict.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)         # (S, NPIX)
             inv1m = 1.0 / one_m
             dL_da = jnp.where(ok, T_excl * gdot - A * inv1m, 0.0)
 
