@@ -229,3 +229,48 @@ class TestForward:
         pkg = M.forward(params, state, cam, jnp.zeros(3), cfg, settings,
                         impl="oracle")
         assert float(jnp.abs(pkg["render"]).max()) == 0.0
+
+    def test_render_up_scale(self):
+        """Supersample + bilinear downsample (VanillaTS_model.py:625-656):
+        same image size out, values close to the direct render."""
+        from triangle_splatting_tpu.ops.projection import RasterSettings
+        params, state, opt = make_model(32)
+        cam = make_camera(32, 32)
+        settings = RasterSettings(image_width=32, image_height=32,
+                                  max_sh_degree=1)
+        base = M.forward(params, state, cam, jnp.ones(3), CFG, settings,
+                         impl="oracle")
+        cfg_up = M.ModelConfig(max_sh_degree=1, render_up_scale=2)
+        up = M.forward(params, state, cam, jnp.ones(3), cfg_up, settings,
+                       impl="oracle")
+        assert up["render"].shape == base["render"].shape
+        assert up["depth"].shape == base["depth"].shape
+        # antialiased result stays close to the direct render on a smooth
+        # scene (identical up to resampling)
+        diff = float(jnp.abs(up["render"] - base["render"]).mean())
+        assert diff < 0.05, diff
+        assert float(jnp.abs(up["render"] - base["render"]).max()) > 0
+
+    def test_color_affine(self):
+        """Per-view affine color correction (VanillaTS_model.py:678-683)."""
+        from triangle_splatting_tpu.ops.projection import RasterSettings
+        params, state, opt = make_model(32)
+        W3 = np.tile(np.eye(3, dtype=np.float32) * 0.5, (4, 1, 1))
+        b3 = np.full((4, 3), 0.1, np.float32)
+        params = replace(params, affine_weight=jnp.asarray(W3),
+                         affine_bias=jnp.asarray(b3))
+        cfg_aff = M.ModelConfig(max_sh_degree=1, use_color_affine=True)
+        cam = make_camera(32, 32)
+        settings = RasterSettings(image_width=32, image_height=32,
+                                  max_sh_degree=1)
+        pkg = M.forward(params, state, cam, jnp.ones(3), cfg_aff, settings,
+                        impl="oracle")
+        expected = jnp.clip(pkg["render_original"] * 0.5 + 0.1, 0, 1)
+        np.testing.assert_allclose(np.asarray(pkg["render"]),
+                                   np.asarray(expected), atol=1e-6)
+        # eval path disables the correction (apply_color_affine=False)
+        pkg2 = M.forward(params, state, cam, jnp.ones(3), cfg_aff, settings,
+                         impl="oracle", apply_color_affine=False)
+        np.testing.assert_allclose(np.asarray(pkg2["render"]),
+                                   np.asarray(pkg["render_original"]),
+                                   atol=1e-6)
