@@ -314,9 +314,12 @@ def _fwd_kernel(
                 buf_t, px, py, gamma, in_range, variant, pxy1=pxy1)
 
         one_m = 1.0 - alpha
-        # Prefix transmittance in log space on the MXU: exp(L @ log(1-a)).
-        cp_incl = _prefix_prod(one_m)
-        cp_excl = cp_incl / one_m                               # exclusive
+        # Exclusive prefix transmittance: shift-by-one then product scan
+        # (in-register Hillis-Steele; no log/exp, no per-element divide).
+        shifted = jnp.concatenate(
+            [jnp.ones((1,) + one_m.shape[1:], one_m.dtype), one_m[:-1]],
+            axis=0)
+        cp_excl = _prefix_prod(shifted)
         T_carry = accum[7:8, :]
         T_excl = T_carry * cp_excl
         if variant == "GS":
