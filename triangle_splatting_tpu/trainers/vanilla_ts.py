@@ -208,7 +208,8 @@ class VanillaTSTrainer(BaseTrainer):
             aux = dict(radii=pkg["radii"], contrib_sum=pkg["contrib_sum"],
                        contrib_max=pkg["contrib_max"],
                        visible_mask=pkg["visible_mask"],
-                       overflow=pkg["overflow"], geo_loss=geo, vertex_loss=vloss)
+                       overflow=pkg["overflow"], num_pairs=pkg["num_pairs"],
+                       geo_loss=geo, vertex_loss=vloss)
             return loss, aux
 
         c2d = jnp.zeros((C, 2), jnp.float32)
@@ -539,6 +540,17 @@ class VanillaTSTrainer(BaseTrainer):
                     self.logger.warning(
                         "pair budget overflow — growing pairs_per_triangle "
                         f"to {self._ppt} (one-time recompile)")
+                else:
+                    # shrink when persistently oversized (sort/pack/scatter
+                    # costs scale with the budget); hysteresis via the
+                    # 30%-of-budget threshold and the log-interval cadence
+                    used = int(aux["num_pairs"])
+                    cap = max(int(self.state.alive.sum()), 1) * self._ppt
+                    if self._ppt > 2 and used < 0.3 * cap:
+                        self._ppt = max(2, self._ppt - 2)
+                        self.logger.info(
+                            f"pair budget underused ({used}/{cap}) — "
+                            f"shrinking pairs_per_triangle to {self._ppt}")
 
             if cfgt.histogram_interval_iter and iteration % cfgt.histogram_interval_iter == 0:
                 timer.log("histogram")
