@@ -137,9 +137,11 @@ def read_images_text(path) -> dict[int, ColmapImage]:
     expect_pose = True
     for line in open(path):
         line = line.strip()
-        if not line or line.startswith("#"):
+        if line.startswith("#"):
             continue
         if expect_pose:
+            if not line:
+                continue            # blank separator between entries
             parts = line.split()
             image_id = int(parts[0])
             qvec = np.array([float(x) for x in parts[1:5]])
@@ -147,7 +149,11 @@ def read_images_text(path) -> dict[int, ColmapImage]:
             camera_id = int(parts[8])
             name = parts[9]
             images[image_id] = ColmapImage(image_id, qvec, tvec, camera_id, name)
-        expect_pose = not expect_pose     # alternate pose / 2D-points lines
+            expect_pose = False
+        else:
+            # the 2D-points line; MAY be empty (zero observations) — it
+            # still counts, or the pose/points alternation desyncs
+            expect_pose = True
     return images
 
 
