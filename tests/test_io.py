@@ -113,3 +113,32 @@ class TestRawGaussian:
         d_sorted = np.linalg.norm(np.diff(sorted_xyz, axis=0), axis=1).mean()
         d_orig = np.linalg.norm(np.diff(xyz, axis=0), axis=1).mean()
         assert d_sorted < 0.5 * d_orig
+
+
+class TestCheckpointFormats:
+    def _blob(self):
+        from triangle_splatting_tpu.models import triangle as M
+        rng = np.random.default_rng(0)
+        params = M.TriangleParams(
+            vertex=rng.normal(size=(8, 3, 3)).astype(np.float32),
+            opacity=rng.normal(size=(8, 1)).astype(np.float32),
+            f_dc=rng.normal(size=(8, 1, 3)).astype(np.float32),
+            f_rest=np.zeros((8, 0, 3), np.float32))
+        return dict(params=params, scene_bbox=[0.0, 0.0, 1.0, 1.0],
+                    state=M.TriangleState.create(8))
+
+    @pytest.mark.parametrize("fmt", ["pickle", "orbax"])
+    def test_roundtrip(self, tmp_path, fmt):
+        from triangle_splatting_tpu.models import triangle as M
+        from triangle_splatting_tpu.utils.checkpoint import (load_ckpt,
+                                                             save_ckpt)
+        blob = self._blob()
+        path = tmp_path / "ck" / "100.ckpt"
+        save_ckpt(path, blob, fmt)
+        back = load_ckpt(path)
+        assert isinstance(back["params"], M.TriangleParams)
+        np.testing.assert_array_equal(np.asarray(back["params"].vertex),
+                                      np.asarray(blob["params"].vertex))
+        assert list(np.asarray(back["scene_bbox"]).reshape(-1)) == \
+            [0.0, 0.0, 1.0, 1.0]
+        assert np.asarray(back["state"].alive).shape == (8,)

@@ -388,18 +388,17 @@ class ScaffoldGSTrainer(BaseTrainer):
         g.savePLY(path)
 
     def save_ckpt(self, path):
-        Path(path).parent.mkdir(parents=True, exist_ok=True)
+        from ..utils.checkpoint import save_ckpt
         blob = dict(
             params=jax.tree_util.tree_map(np.asarray, self.params),
             opt=jax.tree_util.tree_map(np.asarray, self.opt),
             state=jax.tree_util.tree_map(np.asarray, self.state),
             scene_bbox=self.scene_bbox)
-        with open(path, "wb") as f:
-            pickle.dump(blob, f)
+        save_ckpt(path, blob, self.config.trainer.ckpt_format or "pickle")
 
     def load_ckpt(self, path):
-        with open(path, "rb") as f:
-            blob = pickle.load(f)
+        from ..utils.checkpoint import load_ckpt
+        blob = load_ckpt(path)
         to_dev = lambda x: jnp.asarray(x)
         self.params = jax.tree_util.tree_map(to_dev, blob["params"])
         self.opt = jax.tree_util.tree_map(to_dev, blob["opt"])
