@@ -602,7 +602,7 @@ class VanillaTSTrainer(BaseTrainer):
             ssims.append(float(ssim_val))
             if compute_lpips:
                 lpips_vals.append(self._lpips(np.asarray(img), np.asarray(camera.gt_image)))
-            if i < 3:
+            if i < (self.config.trainer.eval_save_img_count or 3):
                 self.logger.add_image(f"Pred {i}", np.asarray(img), iteration)
 
         msg = (f"[ITER {iteration}] Eval PSNR: {np.mean(psnrs):.3f}, "
