@@ -197,3 +197,66 @@ class TestMeshTrainerE2E:
         assert len(raw) > 0
         # STE export forces opacity logits to 10 (opaque mesh)
         assert np.allclose(raw.opacity, 10.0, atol=0.2)
+
+
+class TestGSTrainerE2E:
+    def test_gs_loss_decreases_and_io(self, synthetic_dataset, tmp_path):
+        """VanillaGS loop: init from point cloud, densify + opacity prune
+        cadences fire, PSNR improves, PLY reloads (3DGS schema)."""
+        from triangle_splatting_tpu.trainers.vanilla_gs import VanillaGSTrainer
+        iters = 50
+        cfg = dict_to_config({
+            "dataset": {"type": "NerfSynthetic", "local_dir": str(synthetic_dataset),
+                        "background": "white", "use_alpha_mask": False,
+                        "num_workers": 2, "pcd_path": "point_cloud.ply",
+                        "hold_test_set": True},
+            "model": {
+                "max_sh_degree": 1,
+                "sampling": {"init_opacity": 0.3},
+                "optimizer": {
+                    "xyz": {"v_init": 0.002, "v_final": 0.0005, "max_steps": iters},
+                    "scaling": {"v_init": 0.005, "v_final": 0.005, "max_steps": iters},
+                    "rotation": {"v_init": 0.001, "v_final": 0.001, "max_steps": iters},
+                    "opacity": {"v_init": 0.05, "v_final": 0.05, "max_steps": iters},
+                    "f_dc": {"v_init": 0.02, "v_final": 0.01, "max_steps": iters},
+                    "f_rest": {"v_init": 0.001, "v_final": 0.001, "max_steps": iters},
+                },
+                "model_update": {
+                    "statistic": {"start_iter": 0, "end_iter": iters},
+                    "densification": {"start_iter": 5, "end_iter": iters,
+                                      "interval_iter": 20,
+                                      "grad_threshold_init": 0.0002,
+                                      "grad_threshold_final": 0.0002,
+                                      "min_view_count": 1,
+                                      "split_scale_threshold": 0.5},
+                    "opacity_pruning": {"start_iter": 5, "end_iter": iters,
+                                        "hold_iter": iters, "interval_iter": 25,
+                                        "opacity_threshold_init": 0.01,
+                                        "opacity_threshold_final": 0.01},
+                },
+            },
+            "trainer": {
+                "output_dir": str(tmp_path / "out"), "iterations": iters,
+                "initial_eval": False, "log_interval_iter": 25,
+                "eval_interval_iter": 0, "w_ssim": 0.2,
+                "save_iterations": [iters], "checkpoint_iterations": [iters],
+                "train_background": "white", "eval_background": "white",
+                "use_tensorboard": False, "seed": 0,
+            },
+        })
+        trainer = VanillaGSTrainer(cfg, impl="oracle", log_file=False)
+        trainer._init_model()
+        psnr0 = trainer._evaluate(0)
+        trainer.train()
+        psnr1 = trainer._evaluate(1)
+        assert psnr1 > psnr0, (psnr0, psnr1)
+
+        ply = tmp_path / "out/point_cloud/50.ply"
+        assert ply.exists()
+        t2 = VanillaGSTrainer(cfg, impl="oracle", log_file=False)
+        t2.loadPLY(ply)
+        assert int(t2.state.alive.sum()) == int(trainer.state.alive.sum())
+        t3 = VanillaGSTrainer(cfg, impl="oracle", log_file=False)
+        t3.load_ckpt(tmp_path / "out/ckpt/50.ckpt")
+        psnr2 = t3._evaluate(2)
+        assert abs(psnr2 - psnr1) < 1e-3
