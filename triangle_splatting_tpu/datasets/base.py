@@ -10,7 +10,6 @@ overhead of torch DataLoader workers.
 from __future__ import annotations
 
 import queue
-import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, Optional
 

@@ -7,8 +7,7 @@ density control is pure masked arithmetic, Adam moments are plain leaves.
 
 from __future__ import annotations
 
-import math
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, replace
 from typing import Optional
 
 import jax

@@ -32,9 +32,8 @@ from ..ops import sh as sh_mod
 from ..ops.projection import RasterSettings, safe_norm
 from ..ops.rasterize import rasterize
 from ..utils.camera import Camera
-from .model_utils import (get_color_tensor, get_inside_mask,
-                          inter_point_distance_np, inverse_sigmoid,
-                          inverse_sigmoid_np)
+from .model_utils import (get_inside_mask, inter_point_distance_np,
+                          inverse_sigmoid, inverse_sigmoid_np)
 
 
 # ---------------------------------------------------------------------------

@@ -24,7 +24,7 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 
-from .projection import EPS, RasterSettings, ndc2pix, safe_norm
+from .projection import EPS, RasterSettings, ndc2pix
 
 T_EPS = 1e-4
 ALPHA_MIN = 1.0 / 255.0

@@ -27,9 +27,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import sh as sh_mod
-from .binning import Binning, aligned_capacity, bin_triangles
+from .binning import Binning, bin_triangles
 from .oracle import blend_oracle, blend_oracle_3d
-from .pallas.blend import (NUM_FIELDS, SLAB, blend_backward, blend_forward)
+from .pallas.blend import SLAB, blend_backward, blend_forward
 from .projection import (Preprocessed, Preprocessed3D, RasterSettings,
                          preprocess_2d, preprocess_3d)
 from ..utils.camera import Camera

@@ -16,13 +16,12 @@ collective is one gradient ``psum`` per step, riding ICI.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..models import triangle as M
 from ..ops.projection import RasterSettings

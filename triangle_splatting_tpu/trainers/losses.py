@@ -7,8 +7,6 @@ L1/L2/PSNR. All functions operate on (C, H, W) images and are jit-friendly.
 
 from __future__ import annotations
 
-import functools
-import math
 
 import jax
 import jax.numpy as jnp

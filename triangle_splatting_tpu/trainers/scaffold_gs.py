@@ -9,7 +9,6 @@ and the MLP-distillation pretrain loop (ScaffoldGS_trainer.py:189-264).
 from __future__ import annotations
 
 import functools
-import pickle
 from dataclasses import replace
 from pathlib import Path
 

@@ -8,7 +8,6 @@ PLY IO (raw_gaussian.py schema).
 from __future__ import annotations
 
 import functools
-import pickle
 from dataclasses import replace
 from pathlib import Path
 

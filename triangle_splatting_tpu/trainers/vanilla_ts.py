@@ -12,7 +12,6 @@ models/triangle.py).
 from __future__ import annotations
 
 import functools
-import pickle
 from dataclasses import replace
 from pathlib import Path
 
@@ -370,9 +369,11 @@ class VanillaTSTrainer(BaseTrainer):
 
         cp = mu.contribution_pruning
         if active(cp):
+            # defaults from the reference mesh configs
+            # (NerfSynthetic_VanillaTS_mesh.yaml:123-134)
             target = cp.target_point_num
-            ratio = cp.contrib_max_ratio
-            prune_ratio = cp.prune_ratio
+            ratio = cp.contrib_max_ratio if cp.contrib_max_ratio is not None else 0.1
+            prune_ratio = cp.prune_ratio if cp.prune_ratio is not None else 0.15
             retain = cp.sparsity_retain_ratio or 0.0
             if cp.downsample_iteration:
                 for it, pnum in zip(cp.downsample_iteration, cp.downsample_point_num):
@@ -389,9 +390,13 @@ class VanillaTSTrainer(BaseTrainer):
                 ipd = jnp.asarray(inter_point_distance_np(xyz))
             self.params, self.opt, self.state, n = M.contribution_pruning(
                 self.params, self.opt, self.state,
-                min_view_count=cp.min_view_count, target_point_num=target,
+                min_view_count=cp.min_view_count
+                if cp.min_view_count is not None else 1,
+                target_point_num=target,
                 prune_ratio=_f32(prune_ratio),
-                max_prune_ratio=_f32(cp.max_prune_ratio),
+                max_prune_ratio=_f32(cp.max_prune_ratio
+                                     if cp.max_prune_ratio is not None
+                                     else 0.2),
                 contrib_max_ratio=_f32(ratio), scene_bbox=self.scene_bbox,
                 ste_threshold=self.model_cfg.ste_threshold,
                 inter_point_dist=ipd, sparsity_retain_ratio=retain)

@@ -13,7 +13,7 @@ All schedulers are plain Python callables (host side, one call per step).
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 import numpy as np
 
