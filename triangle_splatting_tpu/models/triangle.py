@@ -164,7 +164,6 @@ def forward(params: TriangleParams, state: TriangleState, camera: Camera,
             background: jnp.ndarray, cfg: ModelConfig,
             settings: RasterSettings, *, is_training: bool = True,
             center2d_offset: Optional[jnp.ndarray] = None,
-            back_culling_draw: Optional[jnp.ndarray] = None,
             apply_color_affine: Optional[bool] = None,
             impl: str = "pallas", interpret: bool = False,
             max_pairs: Optional[int] = None) -> dict:

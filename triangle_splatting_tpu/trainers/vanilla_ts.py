@@ -492,6 +492,14 @@ class VanillaTSTrainer(BaseTrainer):
             timer.log("data loading")
             camera = self.dataset.nextTrainData()
             settings = self._settings_for(camera)
+            if self.model_cfg.back_culling \
+                    and self.model_cfg.back_culling_prob < 1.0:
+                # training randomly disables back-culling per step with
+                # p = 1 - back_culling_prob (VanillaTS_model.py:600-606);
+                # only two jit variants exist, both cached
+                settings = replace(
+                    settings, back_culling=bool(
+                        self._rng.random() < self.model_cfg.back_culling_prob))
             camera = camera.strip_static()
 
             timer.log("train step")
