@@ -53,4 +53,30 @@ class BaseTrainer:
             np.random.seed(seed)
         self.seed = seed if seed is not None else 0
 
+        if config.trainer.detect_anomaly:
+            # torch.autograd.set_detect_anomaly analog
+            # (reference Base_trainer.py:38): fail fast on NaN production
+            import jax
+            jax.config.update("jax_debug_nans", True)
+            self.logger.warning("detect_anomaly: jax_debug_nans enabled "
+                                "(slow; disables some fusions)")
+
         self.dataset = build_dataset(config.dataset, self.logger)
+
+    # -- profiling (SURVEY §5: phase Timer + jax.profiler trace hooks) ------
+    def _profile_hooks(self, iteration: int) -> None:
+        """Start/stop a jax.profiler trace over the configured iteration
+        window (``trainer.profile_start_iter`` / ``profile_end_iter``);
+        view with tensorboard or xprof on ``<output_dir>/profile``."""
+        cfgt = self.config.trainer
+        if not cfgt.profile_start_iter:
+            return
+        import jax
+        if iteration == cfgt.profile_start_iter:
+            self.logger.info(f"[ITER {iteration}] profiler trace started")
+            jax.profiler.start_trace(str(Path(self.output_dir) / "profile"))
+        end = cfgt.profile_end_iter or (cfgt.profile_start_iter + 10)
+        if iteration == end:
+            jax.profiler.stop_trace()
+            self.logger.info(f"[ITER {iteration}] profiler trace written to "
+                             f"{self.output_dir}/profile")

@@ -230,6 +230,7 @@ class ScaffoldGSTrainer(BaseTrainer):
             camera = self.dataset.nextTrainData()
             settings = self._settings_for(camera)
             camera = camera.strip_static()
+            self._profile_hooks(iteration)
             timer.log("train step")
             bg = jnp.asarray(get_color_tensor(
                 cfgt.train_background or "black", self._rng))

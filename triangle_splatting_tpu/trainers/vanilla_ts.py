@@ -502,6 +502,7 @@ class VanillaTSTrainer(BaseTrainer):
                         self._rng.random() < self.model_cfg.back_culling_prob))
             camera = camera.strip_static()
 
+            self._profile_hooks(iteration)
             timer.log("train step")
             bg_name = cfgt.train_background or "random"
             background = jnp.asarray(get_color_tensor(bg_name, self._rng))
