@@ -15,6 +15,22 @@ from typing import Callable, Sequence
 
 
 def run_exp(fn: Callable, args_list: Sequence[tuple], num_workers: int = 1):
+    if num_workers > 1:
+        # A TPU chip is claimed exclusively by ONE process; concurrent
+        # workers sharing a chip deadlock on the claim. Only probe device
+        # count if jax is already initialized in this process (probing
+        # would itself claim the chip and starve the workers).
+        import sys
+        jax = sys.modules.get("jax")
+        if jax is not None:
+            try:
+                n_dev = len(jax.devices())
+                if jax.default_backend() != "cpu" and n_dev < num_workers:
+                    print(f"pipeline: {n_dev} device(s) < {num_workers} "
+                          f"workers — running scenes sequentially")
+                    num_workers = 1
+            except Exception:
+                pass
     if num_workers <= 1:
         for args in args_list:
             fn(*args)
