@@ -110,15 +110,15 @@ fetch('/models').then(r=>r.json()).then(ms=>{
 
 
 def _depth_to_image(depth: np.ndarray) -> np.ndarray:
-    """JET-ish colormap (reference utils/vis_utils.py:94-105)."""
+    """Robust-normalized JET colormap (percentile window + the shared
+    utils.vis_utils JET map, returned as float RGB)."""
+    from .utils.vis_utils import depth_to_image
     d = depth.copy()
     finite = np.isfinite(d)
     lo, hi = (np.percentile(d[finite], [2, 98]) if finite.any() else (0, 1))
-    t = np.clip((d - lo) / max(hi - lo, 1e-9), 0, 1)
-    r = np.clip(1.5 - np.abs(4 * t - 3), 0, 1)
-    g = np.clip(1.5 - np.abs(4 * t - 2), 0, 1)
-    b = np.clip(1.5 - np.abs(4 * t - 1), 0, 1)
-    return np.stack([r, g, b], -1)
+    d = np.clip((d - lo) / max(hi - lo, 1e-9), 0, 1)
+    bgr = depth_to_image(d)
+    return bgr[..., ::-1].astype(np.float32) / 255.0
 
 
 def _normal_to_image(normal: np.ndarray) -> np.ndarray:
