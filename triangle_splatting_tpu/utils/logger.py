@@ -200,3 +200,7 @@ class Logger_MP:
             self.close()
         except Exception:
             pass
+
+
+# Module-level console-only logger (reference utils/logger.py:218).
+stdout_logger = Logger("stdout_logger", output_dir=None)
