@@ -45,17 +45,9 @@ MIPNERF360_SCENES = {"bicycle": 4, "bonsai": 2, "counter": 2, "garden": 4,
 TANKS_SCENES = {"truck": 1, "train": 1, "drjohnson": 1, "playroom": 1}
 
 
-def main():
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--type", required=True, choices=[
-        "NerfSynthetic_VanillaTS", "NerfSynthetic_VanillaTS_mesh",
-        "MipNerf360_VanillaTS", "TanksAndBlending_VanillaTS",
-        "MatrixCity_VanillaTS_mesh"])
-    parser.add_argument("--dataset_path", required=True)
-    parser.add_argument("--scenes", nargs="*", default=None)
-    parser.add_argument("--num_workers", type=int, default=1)
-    args = parser.parse_args()
-
+def build_jobs(args):
+    """(config_path, dataset_path, scene, exp_name, target_res,
+    target_point_num) tuples for the requested experiment type."""
     config_path = f"config/{args.type}.yaml"
     jobs = []
     if args.type.startswith("NerfSynthetic"):
@@ -75,7 +67,21 @@ def main():
             jobs.append((config_path, args.dataset_path, scene, scene, 1, None))
     elif args.type == "MatrixCity_VanillaTS_mesh":
         jobs.append((config_path, args.dataset_path, None, "matrix_city", None, None))
+    return jobs
 
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--type", required=True, choices=[
+        "NerfSynthetic_VanillaTS", "NerfSynthetic_VanillaTS_mesh",
+        "MipNerf360_VanillaTS", "TanksAndBlending_VanillaTS",
+        "MatrixCity_VanillaTS_mesh"])
+    parser.add_argument("--dataset_path", required=True)
+    parser.add_argument("--scenes", nargs="*", default=None)
+    parser.add_argument("--num_workers", type=int, default=1)
+    args = parser.parse_args()
+
+    jobs = build_jobs(args)
     from triangle_splatting_tpu.utils.pipeline_utils import run_exp_with_args
     run_exp_with_args(exp, jobs, num_workers=args.num_workers)
 

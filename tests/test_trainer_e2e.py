@@ -25,72 +25,9 @@ RES = 48
 N_TRI = 120
 
 
-def _pose_on_circle(theta, radius=4.5):
-    """Camera on a circle in the x-z plane looking at the origin, returned as
-    a Blender/OpenGL c2w matrix (the dataset loader converts to COLMAP)."""
-    eye = np.array([radius * math.sin(theta), 0.0, radius * math.cos(theta)])
-    forward = -eye / np.linalg.norm(eye)          # toward origin
-    up = np.array([0.0, 1.0, 0.0])
-    right = np.cross(forward, up); right /= np.linalg.norm(right)
-    true_up = np.cross(right, forward)
-    c2w = np.eye(4)
-    # OpenGL convention: -z is the viewing direction
-    c2w[:3, 0] = right
-    c2w[:3, 1] = true_up
-    c2w[:3, 2] = -forward
-    c2w[:3, 3] = eye
-    return c2w
-
-
 def build_synthetic_dataset(root):
-    root = Path(root)
-    root.mkdir(parents=True, exist_ok=True)
-    rng = np.random.default_rng(0)
-    # ground-truth scene centered at the origin
-    scene = make_random_scene(N_TRI, seed=7, z_range=(-0.8, 0.8),
-                              xy_extent=0.8, size_range=(0.15, 0.3),
-                              opacity_range=(0.7, 0.95))
-    vertex = jnp.asarray(scene["vertex"])
-    opacity = jnp.asarray(scene["opacity"])
-    rgb = jnp.asarray(scene["rgb"])
-    fovx = math.radians(50)
-    settings = RasterSettings(image_width=RES, image_height=RES)
-
-    from triangle_splatting_tpu.ops.rasterize import rasterize
-    from PIL import Image
-
-    def render(c2w_gl):
-        c2w = c2w_gl.copy()
-        c2w[:3, 1:3] *= -1
-        w2c = np.linalg.inv(c2w)
-        cam = Camera.create(R=w2c[:3, :3].T, T=w2c[:3, 3], fovx=fovx, fovy=fovx,
-                            image_width=RES, image_height=RES)
-        out = rasterize(vertex, opacity, None, cam, settings, gamma=1.0,
-                        background=jnp.ones(3), bg_depth=20.0, colors=rgb,
-                        impl="oracle")
-        return np.clip(np.asarray(out["render"]), 0, 1)
-
-    for split, count in [("train", 6), ("test", 2)]:
-        frames = []
-        for i in range(count):
-            theta = 2 * math.pi * (i + (0.5 if split == "test" else 0)) / count
-            c2w = _pose_on_circle(theta)
-            img = render(c2w)
-            arr = (img.transpose(1, 2, 0) * 255).astype(np.uint8)
-            rgba = np.concatenate([arr, np.full((RES, RES, 1), 255, np.uint8)], -1)
-            (root / split).mkdir(exist_ok=True)
-            Image.fromarray(rgba).save(root / split / f"r_{i}.png")
-            frames.append({"file_path": f"./{split}/r_{i}",
-                           "transform_matrix": c2w.tolist()})
-        with open(root / f"transforms_{split}.json", "w") as f:
-            json.dump({"camera_angle_x": fovx, "frames": frames}, f)
-
-    # init point cloud: noisy triangle centroids
-    from triangle_splatting_tpu.models.point_cloud import PointCloud
-    centers = scene["vertex"].mean(1) + rng.normal(0, 0.05, (N_TRI, 3))
-    PointCloud(centers.astype(np.float32), scene["rgb"]).storePly(
-        root / "point_cloud.ply")
-    return root
+    from triangle_splatting_tpu.utils.testing import build_synthetic_nerf_dataset
+    return build_synthetic_nerf_dataset(root, res=RES, n_tri=N_TRI)
 
 
 @pytest.fixture(scope="module")

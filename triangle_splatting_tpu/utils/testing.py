@@ -55,3 +55,101 @@ def make_random_scene(n: int, seed: int = 0, z_range=(3.0, 6.0),
     rgb = rng.uniform(0.05, 0.95, (n, 3)).astype(np.float32)
     return dict(vertex=vertex, opacity=opacity, rgb=rgb,
                 sh_dc=((rgb - 0.5) / 0.28209479177387814)[:, None, :].astype(np.float32))
+
+
+def pose_on_circle(theta: float, radius: float = 4.5, height: float = 0.0):
+    """Camera on a circle looking at the origin, as a Blender/OpenGL c2w
+    matrix (NerfSynthetic_dataset.py:20-25 converts to COLMAP)."""
+    eye = np.array([radius * np.sin(theta), height, radius * np.cos(theta)])
+    forward = -eye / np.linalg.norm(eye)
+    up = np.array([0.0, 1.0, 0.0])
+    right = np.cross(forward, up)
+    right /= np.linalg.norm(right)
+    true_up = np.cross(right, forward)
+    c2w = np.eye(4)
+    c2w[:3, 0] = right
+    c2w[:3, 1] = true_up
+    c2w[:3, 2] = -forward          # OpenGL: -z is the viewing direction
+    c2w[:3, 3] = eye
+    return c2w
+
+
+def build_synthetic_nerf_dataset(root, *, res: int = 48, n_tri: int = 120,
+                                 n_train: int = 6, n_test: int = 2,
+                                 impl: str = "oracle", seed: int = 7,
+                                 size_range=(0.15, 0.3),
+                                 pcd_noise: float = 0.05,
+                                 pcd_points: int | None = None):
+    """Write a Blender/NeRF-Synthetic-format dataset of a known random
+    triangle scene to ``root`` (transforms_{train,test}.json + PNGs +
+    point_cloud.ply). GT images are rendered with this framework's own
+    rasterizer (``impl``: oracle on CPU for tests, pallas on a chip for
+    large resolutions). Returns ``root``."""
+    import json
+    import math
+    from pathlib import Path
+
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from ..models.point_cloud import PointCloud
+    from ..ops.projection import RasterSettings
+    from ..ops.rasterize import rasterize
+
+    root = Path(root)
+    root.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(0)
+    scene = make_random_scene(n_tri, seed=seed, z_range=(-0.8, 0.8),
+                              xy_extent=0.8, size_range=size_range,
+                              opacity_range=(0.7, 0.95))
+    vertex = jnp.asarray(scene["vertex"])
+    opacity = jnp.asarray(scene["opacity"])
+    rgb = jnp.asarray(scene["rgb"])
+    fovx = math.radians(50)
+    settings = RasterSettings(image_width=res, image_height=res)
+
+    import jax
+
+    # Jitted per-camera render: eager op dispatch is pathologically slow on
+    # remote-compile TPU backends. Cameras share one trace (strip_static).
+    @jax.jit
+    def _render_jit(cam):
+        out = rasterize(vertex, opacity, None, cam, settings, gamma=1.0,
+                        background=jnp.ones(3), bg_depth=20.0, colors=rgb,
+                        impl=impl)
+        return jnp.clip(out["render"], 0, 1)
+
+    def render(c2w_gl):
+        c2w = c2w_gl.copy()
+        c2w[:3, 1:3] *= -1
+        w2c = np.linalg.inv(c2w)
+        cam = Camera.create(R=w2c[:3, :3].T, T=w2c[:3, 3], fovx=fovx,
+                            fovy=fovx, image_width=res, image_height=res)
+        return np.asarray(_render_jit(cam.strip_static()))
+
+    for split, count in [("train", n_train), ("test", n_test)]:
+        frames = []
+        for i in range(count):
+            theta = 2 * math.pi * (i + (0.5 if split == "test" else 0)) / count
+            c2w = pose_on_circle(theta)
+            img = render(c2w)
+            arr = (img.transpose(1, 2, 0) * 255).astype(np.uint8)
+            rgba = np.concatenate(
+                [arr, np.full((res, res, 1), 255, np.uint8)], -1)
+            (root / split).mkdir(exist_ok=True)
+            Image.fromarray(rgba).save(root / split / f"r_{i}.png")
+            frames.append({"file_path": f"./{split}/r_{i}",
+                           "transform_matrix": c2w.tolist()})
+        with open(root / f"transforms_{split}.json", "w") as f:
+            json.dump({"camera_angle_x": fovx, "frames": frames}, f)
+
+    # init point cloud: noisy triangle centroids (optionally re-sampled)
+    centers = scene["vertex"].mean(1)
+    colors = scene["rgb"]
+    if pcd_points is not None:
+        idx = rng.integers(0, n_tri, pcd_points)
+        centers, colors = centers[idx], colors[idx]
+    centers = centers + rng.normal(0, pcd_noise, centers.shape)
+    PointCloud(centers.astype(np.float32), colors).storePly(
+        root / "point_cloud.ply")
+    return root
