@@ -224,7 +224,9 @@ def forward(params: TriangleParams, state: TriangleState, camera: Camera,
         img = render_pkg["render"]
         W3 = params.affine_weight[camera.uid]
         b3 = params.affine_bias[camera.uid]
-        transformed = jnp.einsum("chw,cd->dhw", img, W3) + b3[:, None, None]
+        transformed = jnp.einsum("chw,cd->dhw", img, W3,
+                                 precision=jax.lax.Precision.HIGHEST) \
+            + b3[:, None, None]
         render_pkg["render_original"] = img
         render_pkg["render"] = jnp.clip(transformed, 0.0, 1.0)
 

@@ -61,7 +61,9 @@ def build_cov3d(scale: jnp.ndarray, rotation: jnp.ndarray,
     R = quat_to_rotmat(rotation)
     S = scale * scale_modifier                                 # (P, 3)
     M = R * S[:, None, :]                                      # R @ diag(S)
-    return jnp.einsum("pij,pkj->pik", M, M)
+    # HIGHEST: bf16 covariance feeds the conic inverse and EWA radii.
+    return jnp.einsum("pij,pkj->pik", M, M,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def preprocess_gaussian(xyz: jnp.ndarray, scale: jnp.ndarray,

@@ -13,6 +13,7 @@ coefficient bands — identical numerics, zero recompiles.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -110,5 +111,8 @@ def eval_sh(sh: jnp.ndarray, positions: jnp.ndarray, campos: jnp.ndarray,
     d = d / n
     basis = sh_basis(d, max_degree)                        # (P, K)
     basis = basis * band_mask(active_degree, max_degree)[None, :]
-    rgb = jnp.einsum("pk,pkc->pc", basis, sh) + 0.5
+    # HIGHEST: the TPU default (bf16) adds ~0.4% color error — visible
+    # against the <=1e-3/pixel forward-parity budget.
+    rgb = jnp.einsum("pk,pkc->pc", basis, sh,
+                     precision=jax.lax.Precision.HIGHEST) + 0.5
     return jnp.maximum(rgb, 0.0)

@@ -66,7 +66,10 @@ def partition_by_depth(vertex: jnp.ndarray, camera: Camera, n_shards: int,
         raise ValueError(f"triangle count {P_} not divisible by {n_shards}")
     center = vertex.mean(axis=1)
     wv = camera.world_view
-    depth = center @ wv[2, :3].T + wv[2, 3]
+    # f32 row products (not @): slab assignment must match the in-kernel
+    # depth ordering; a bf16 matvec can move boundary triangles across slabs.
+    depth = (center[:, 0] * wv[2, 0] + center[:, 1] * wv[2, 1]
+             + center[:, 2] * wv[2, 2]) + wv[2, 3]
     valid = jnp.ones(P_, bool) if alive is None else alive
     if settings is not None:
         from ..ops.binning import depth_bits_for, quantize_depth

@@ -89,5 +89,6 @@ class GaussianRenderer:
         """Boolean visibility per point: view-space ``z > 0.2``
         (mark_visible, rasterizer_impl.cu:149)."""
         wv = self.cam.world_view
-        z = positions @ wv[2, :3] + wv[2, 3]
+        z = (positions[:, 0] * wv[2, 0] + positions[:, 1] * wv[2, 1]
+             + positions[:, 2] * wv[2, 2]) + wv[2, 3]
         return z > 0.2

@@ -29,11 +29,16 @@ def depthwise_conv2d(img: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
     C = img.shape[0]
     kh, kw = kernel.shape
     k = jnp.asarray(kernel)[None, None].repeat(C, axis=0)  # (C, 1, kh, kw)
+    # HIGHEST precision: TPU convs default to bf16, and the SSIM variance
+    # terms (E[x^2] - mu^2) cancel catastrophically there — bf16 makes
+    # sigma^2 wrong enough that ssim_map leaves [-1, 1] and the loss goes
+    # negative. The 11x11 depthwise window is tiny; full f32 costs nothing.
     out = jax.lax.conv_general_dilated(
         img[None], k, window_strides=(1, 1),
         padding=((kh // 2, (kh - 1) // 2), (kw // 2, (kw - 1) // 2)),
         feature_group_count=C,
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST)
     return out[0]
 
 
