@@ -22,7 +22,12 @@ import tempfile
 import time
 
 
-def make_smoke_config(root, out_dir, iters: int, densify: bool = True):
+def make_smoke_config(root, out_dir, iters: int, densify: bool = True,
+                      mesh: bool = False):
+    """``mesh=True`` switches to the solidify pipeline: 3D rasterizer,
+    gamma annealed 1->50 over the middle half, opacity STE + two-phase
+    opacity regularization, GLB export at the end (the
+    NerfSynthetic_VanillaTS_mesh recipe at smoke scale)."""
     from ..utils.config import dict_to_config
     model_update = {"sh_schedule": {"one_up_iters": [iters // 4]}}
     if densify:
@@ -41,6 +46,10 @@ def make_smoke_config(root, out_dir, iters: int, densify: bool = True):
                 "opacity_threshold_final": 0.005,
             },
         })
+    if mesh:
+        model_update["gamma_schedule"] = {
+            "start_iter": iters // 4, "end_iter": iters * 3 // 4,
+            "gamma_init": 1.0, "gamma_final": 50.0}
     return dict_to_config({
         "dataset": {"type": "NerfSynthetic", "local_dir": str(root),
                     "background": "white", "use_alpha_mask": False,
@@ -48,7 +57,8 @@ def make_smoke_config(root, out_dir, iters: int, densify: bool = True):
                     "hold_test_set": True},
         "model": {
             "max_sh_degree": 1,
-            "rasterizer_type": "2D",
+            "rasterizer_type": "3D" if mesh else "2D",
+            **({"ste_threshold": 0.3, "gamma_rescale": True} if mesh else {}),
             "pairs_per_triangle": 16,
             "sampling": {"sample_method": "direct", "init_opacity": 0.3},
             "optimizer": {
@@ -67,6 +77,11 @@ def make_smoke_config(root, out_dir, iters: int, densify: bool = True):
             "initial_eval": False, "log_interval_iter": max(50, iters // 8),
             "eval_interval_iter": 0, "histogram_interval_iter": 0,
             "save_iterations": [iters], "checkpoint_iterations": [iters],
+            **({"save_glb_iterations": [iters],
+                "w_opacity_reg": {
+                    "quad_reg": 0.01, "linear_reg": 0.01,
+                    "quad_start_iter": iters // 4,
+                    "linear_start_iter": iters // 2}} if mesh else {}),
             "train_background": "white", "eval_background": "white",
             "w_ssim": 0.2, "use_tensorboard": False, "seed": 0,
         },
@@ -83,6 +98,9 @@ def main(argv=None):
                     help="dataset/output dir (default: a temp dir)")
     ap.add_argument("--impl", default="pallas", choices=["pallas", "oracle"])
     ap.add_argument("--no-densify", action="store_true")
+    ap.add_argument("--mesh", action="store_true",
+                    help="solidify pipeline: 3D rasterizer, gamma anneal "
+                         "1->50, STE, GLB export")
     ap.add_argument("--min-gain", type=float, default=2.0,
                     help="required PSNR gain (dB) for exit code 0")
     args = ap.parse_args(argv)
@@ -103,7 +121,7 @@ def main(argv=None):
         pcd_points=max(args.n_tri // 2, 100), pcd_noise=0.1)
 
     cfg = make_smoke_config(data_dir, f"{root}/out", args.iters,
-                            densify=not args.no_densify)
+                            densify=not args.no_densify, mesh=args.mesh)
     trainer = VanillaTSTrainer(cfg, impl=args.impl, log_file=False)
     trainer._init_model()
     psnr0 = float(trainer._evaluate(0))
@@ -113,9 +131,16 @@ def main(argv=None):
     psnr1 = float(trainer._evaluate(args.iters))
 
     alive = int(trainer.state.alive.sum())
+    extra = {}
+    if args.mesh:
+        glb = f"{root}/out/glb/{args.iters}.glb"
+        import os
+        extra = {"gamma_final": round(float(trainer.state.gamma), 1),
+                 "glb_exported": os.path.exists(glb)}
     print(json.dumps({
         "metric": "smoke_overfit",
         "res": args.res, "iters": args.iters, "impl": args.impl,
+        **extra,
         "psnr_init": round(psnr0, 2), "psnr_final": round(psnr1, 2),
         "alive_triangles": alive,
         "wall_s": round(wall, 1),

@@ -74,6 +74,12 @@ class VanillaTSTrainer(BaseTrainer):
         self._j_scale_pruning = jax.jit(M.scale_pruning)
         self._j_scale_clipping = jax.jit(M.scale_clipping)
         self._j_opacity_reset = jax.jit(M.opacity_reset)
+        # sparsity_retain_ratio / ste_threshold gate Python branches; the
+        # counts/ratios are traced so downsample-schedule changes don't
+        # recompile.
+        self._j_contribution_pruning = jax.jit(
+            M.contribution_pruning,
+            static_argnames=("sparsity_retain_ratio", "ste_threshold"))
 
     # ------------------------------------------------------------------
     # setup
@@ -388,11 +394,11 @@ class VanillaTSTrainer(BaseTrainer):
                 from ..models.model_utils import inter_point_distance_np
                 xyz = np.asarray(M.get_xyz(self.params))
                 ipd = jnp.asarray(inter_point_distance_np(xyz))
-            self.params, self.opt, self.state, n = M.contribution_pruning(
+            self.params, self.opt, self.state, n = self._j_contribution_pruning(
                 self.params, self.opt, self.state,
-                min_view_count=cp.min_view_count
-                if cp.min_view_count is not None else 1,
-                target_point_num=target,
+                min_view_count=np.int32(cp.min_view_count
+                                        if cp.min_view_count is not None else 1),
+                target_point_num=np.int32(target),
                 prune_ratio=_f32(prune_ratio),
                 max_prune_ratio=_f32(cp.max_prune_ratio
                                      if cp.max_prune_ratio is not None
