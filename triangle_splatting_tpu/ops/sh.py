@@ -111,8 +111,8 @@ def eval_sh(sh: jnp.ndarray, positions: jnp.ndarray, campos: jnp.ndarray,
     d = d / n
     basis = sh_basis(d, max_degree)                        # (P, K)
     basis = basis * band_mask(active_degree, max_degree)[None, :]
-    # HIGHEST: the TPU default (bf16) adds ~0.4% color error — visible
-    # against the <=1e-3/pixel forward-parity budget.
-    rgb = jnp.einsum("pk,pkc->pc", basis, sh,
-                     precision=jax.lax.Precision.HIGHEST) + 0.5
+    # Broadcast-sum, not einsum: a K<=16 contraction pads to a full MXU
+    # tile (and bf16 default breaks the <=1e-3/pixel parity budget); the
+    # elementwise f32 form is exact and prices ~nothing on the VPU.
+    rgb = (basis[:, :, None] * sh).sum(axis=1) + 0.5
     return jnp.maximum(rgb, 0.0)

@@ -24,15 +24,57 @@ def _gaussian_kernel(kernel_size: int, sigma: float, normalize: bool = True) -> 
     return k.astype(np.float32)
 
 
+def _rank1_factors(kernel: np.ndarray):
+    """(col (kh,), row (kw,)) if the kernel is rank-1, else None.
+
+    Every kernel in this module is separable: the Gaussian window is an
+    outer product by construction, Scharr is [3,10,3]x[-1,0,1]. Checked
+    numerically at trace time (host numpy)."""
+    u, s, vt = np.linalg.svd(kernel.astype(np.float64))
+    if kernel.size > 1 and s[1] > 1e-6 * s[0]:
+        return None
+    col = u[:, 0] * np.sqrt(s[0])
+    row = vt[0] * np.sqrt(s[0])
+    return col.astype(np.float32), row.astype(np.float32)
+
+
+def _conv1d_shift(img: jnp.ndarray, taps: np.ndarray, axis: int) -> jnp.ndarray:
+    """Same-(zero)-padding 1-D conv along ``axis`` as shift-multiply-adds.
+
+    XLA fuses the shifted slices into one elementwise pass; this avoids
+    lax.conv entirely — TPU lowers small depthwise convs pathologically
+    (an 11x11 SSIM window priced ~40 ms fwd+bwd @800x800; this form is
+    ~1 ms)."""
+    k = len(taps)
+    pad = [(0, 0)] * img.ndim
+    pad[axis] = (k // 2, (k - 1) // 2)
+    x = jnp.pad(img, pad)
+    n = img.shape[axis]
+    out = None
+    for i, t in enumerate(taps):
+        sl = [slice(None)] * img.ndim
+        sl[axis] = slice(i, i + n)
+        term = float(t) * x[tuple(sl)]
+        out = term if out is None else out + term
+    return out
+
+
 def depthwise_conv2d(img: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
-    """Same-padding depthwise conv; img (C, H, W), kernel (kh, kw)."""
+    """Same-padding depthwise conv; img (C, H, W), kernel (kh, kw).
+
+    f32 throughout: TPU convs default to bf16 passes, and the SSIM variance
+    terms (E[x^2] - mu^2) cancel catastrophically there — bf16 makes
+    sigma^2 wrong enough that ssim_map leaves [-1, 1] and the loss goes
+    negative (and its gradients actively hurt training)."""
+    kernel = np.asarray(kernel, np.float32)
+    factors = _rank1_factors(kernel)
+    if factors is not None:
+        col, row = factors
+        return _conv1d_shift(_conv1d_shift(img, col, img.ndim - 2),
+                             row, img.ndim - 1)
     C = img.shape[0]
     kh, kw = kernel.shape
     k = jnp.asarray(kernel)[None, None].repeat(C, axis=0)  # (C, 1, kh, kw)
-    # HIGHEST precision: TPU convs default to bf16, and the SSIM variance
-    # terms (E[x^2] - mu^2) cancel catastrophically there — bf16 makes
-    # sigma^2 wrong enough that ssim_map leaves [-1, 1] and the loss goes
-    # negative. The 11x11 depthwise window is tiny; full f32 costs nothing.
     out = jax.lax.conv_general_dilated(
         img[None], k, window_strides=(1, 1),
         padding=((kh // 2, (kh - 1) // 2), (kw // 2, (kw - 1) // 2)),
