@@ -88,3 +88,69 @@ class TestMaskedLosses:
     def test_dog_loss_runs(self):
         v = float(L.dog_loss(IMG, IMG2))
         assert np.isfinite(v) and v >= 0
+
+
+class TestSeparableConv:
+    """The rank-1 fast path must equal the dense lax.conv exactly-ish.
+
+    XLA lowers small depthwise convs pathologically on TPU (PERF.md: the
+    11x11 SSIM window priced 40.6 ms fwd+bwd @800x800; the separable
+    shift-multiply-add form prices 2.3 ms), so depthwise_conv2d factors
+    rank-1 kernels at trace time. These tests pin equivalence and the
+    dense fallback for genuinely 2-D kernels.
+    """
+
+    def _dense(self, img, kernel):
+        import jax
+        C = img.shape[0]
+        kh, kw = kernel.shape
+        k = jnp.asarray(kernel)[None, None].repeat(C, axis=0)
+        out = jax.lax.conv_general_dilated(
+            img[None], k, window_strides=(1, 1),
+            padding=((kh // 2, (kh - 1) // 2), (kw // 2, (kw - 1) // 2)),
+            feature_group_count=C,
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            precision=jax.lax.Precision.HIGHEST)
+        return out[0]
+
+    def test_gaussian_window_matches_dense(self):
+        rng = np.random.default_rng(0)
+        img = jnp.asarray(rng.uniform(0, 1, (3, 40, 56)).astype(np.float32))
+        k = L._gaussian_kernel(11, 1.5)
+        assert L._rank1_factors(k) is not None
+        np.testing.assert_allclose(L.depthwise_conv2d(img, k),
+                                   self._dense(img, k), atol=2e-6)
+
+    def test_scharr_matches_dense(self):
+        rng = np.random.default_rng(1)
+        img = jnp.asarray(rng.uniform(0, 1, (1, 33, 29)).astype(np.float32))
+        for k in (L.SCHARR_X, L.SCHARR_Y):
+            assert L._rank1_factors(k) is not None
+            np.testing.assert_allclose(L.depthwise_conv2d(img, k),
+                                       self._dense(img, k), atol=2e-6)
+
+    def test_even_kernel_matches_dense(self):
+        # even sizes exercise the asymmetric same-padding convention
+        rng = np.random.default_rng(2)
+        img = jnp.asarray(rng.uniform(0, 1, (2, 17, 21)).astype(np.float32))
+        k = np.outer([1.0, 2.0, 3.0, 1.0], [0.5, 1.0]).astype(np.float32)
+        assert L._rank1_factors(k) is not None
+        np.testing.assert_allclose(L.depthwise_conv2d(img, k),
+                                   self._dense(img, k), atol=2e-6)
+
+    def test_non_separable_falls_back(self):
+        k = np.eye(3, dtype=np.float32)  # rank 3
+        assert L._rank1_factors(k) is None
+        rng = np.random.default_rng(3)
+        img = jnp.asarray(rng.uniform(0, 1, (1, 12, 12)).astype(np.float32))
+        np.testing.assert_allclose(L.depthwise_conv2d(img, k),
+                                   self._dense(img, k), atol=2e-6)
+
+    def test_grad_matches_dense(self):
+        import jax
+        rng = np.random.default_rng(4)
+        img = jnp.asarray(rng.uniform(0, 1, (1, 16, 16)).astype(np.float32))
+        k = L._gaussian_kernel(7, 1.5)
+        g1 = jax.grad(lambda x: L.depthwise_conv2d(x, k).sum())(img)
+        g2 = jax.grad(lambda x: self._dense(x, k).sum())(img)
+        np.testing.assert_allclose(g1, g2, atol=2e-6)
