@@ -154,3 +154,22 @@ class TestSeparableConv:
         g1 = jax.grad(lambda x: L.depthwise_conv2d(x, k).sum())(img)
         g2 = jax.grad(lambda x: self._dense(x, k).sum())(img)
         np.testing.assert_allclose(g1, g2, atol=2e-6)
+
+    def test_singleton_dim_kernel(self):
+        # 1xN / Nx1 kernels are trivially rank-1 (SVD returns ONE singular
+        # value — the guard must not index s[1])
+        img = jnp.asarray(np.random.default_rng(5).uniform(0, 1, (1, 8, 8))
+                          .astype(np.float32))
+        for k in (np.ones((1, 3), np.float32) / 3,
+                  np.ones((3, 1), np.float32) / 3):
+            np.testing.assert_allclose(L.depthwise_conv2d(img, k),
+                                       self._dense(img, k), atol=2e-6)
+
+    def test_bf16_input_upcast(self):
+        # the separable fast path must keep the f32 guarantee on bf16 input
+        # (bf16 accumulation reintroduces the SSIM variance cancellation)
+        img = jnp.asarray(np.random.default_rng(6).uniform(0, 1, (1, 8, 8))
+                          .astype(np.float32))
+        out = L.depthwise_conv2d(img.astype(jnp.bfloat16),
+                                 L._gaussian_kernel(5, 1.5))
+        assert out.dtype == jnp.float32

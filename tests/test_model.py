@@ -274,3 +274,17 @@ class TestForward:
         np.testing.assert_allclose(np.asarray(pkg2["render"]),
                                    np.asarray(pkg["render_original"]),
                                    atol=1e-6)
+
+
+class TestInsideMaskTraced:
+    def test_bbox_traced_under_jit(self):
+        # the trainer jits contribution_pruning with scene_bbox as a traced
+        # argument; get_inside_mask must not call numpy on it
+        import jax
+        from triangle_splatting_tpu.models.model_utils import get_inside_mask
+        pts = jnp.asarray(np.linspace(-1, 1, 30).reshape(10, 3).astype(np.float32))
+        for bbox in (np.array([-0.5, -0.5, 0.5, 0.5], np.float32),
+                     np.array([-0.5, -0.5, -0.5, 0.5, 0.5, 0.5], np.float32)):
+            m_jit = jax.jit(get_inside_mask)(pts, bbox)
+            m_eager = get_inside_mask(np.asarray(pts), bbox)
+            np.testing.assert_array_equal(m_jit, m_eager)

@@ -63,7 +63,9 @@ def get_inside_mask(points, bbox) -> jnp.ndarray:
     (reference models/model_utils.py:39-58)."""
     if bbox is None:
         return jnp.ones(points.shape[0], bool)
-    bbox = np.asarray(bbox, np.float32).reshape(-1)
+    # jnp, not np: bbox may be a traced argument (the trainer jits
+    # contribution_pruning and passes scene_bbox through it).
+    bbox = jnp.asarray(bbox, jnp.float32).reshape(-1)
     if bbox.size == 4:
         lo, hi = bbox[:2], bbox[2:]
         pts = points[:, :2]

@@ -31,7 +31,7 @@ def _rank1_factors(kernel: np.ndarray):
     outer product by construction, Scharr is [3,10,3]x[-1,0,1]. Checked
     numerically at trace time (host numpy)."""
     u, s, vt = np.linalg.svd(kernel.astype(np.float64))
-    if kernel.size > 1 and s[1] > 1e-6 * s[0]:
+    if s.size > 1 and s[1] > 1e-6 * s[0]:
         return None
     col = u[:, 0] * np.sqrt(s[0])
     row = vt[0] * np.sqrt(s[0])
@@ -70,6 +70,7 @@ def depthwise_conv2d(img: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
     factors = _rank1_factors(kernel)
     if factors is not None:
         col, row = factors
+        img = img.astype(jnp.float32)  # keep the f32 guarantee on bf16 input
         return _conv1d_shift(_conv1d_shift(img, col, img.ndim - 2),
                              row, img.ndim - 1)
     C = img.shape[0]

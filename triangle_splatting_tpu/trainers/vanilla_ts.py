@@ -74,9 +74,9 @@ class VanillaTSTrainer(BaseTrainer):
         self._j_scale_pruning = jax.jit(M.scale_pruning)
         self._j_scale_clipping = jax.jit(M.scale_clipping)
         self._j_opacity_reset = jax.jit(M.opacity_reset)
-        # sparsity_retain_ratio / ste_threshold gate Python branches; the
-        # counts/ratios are traced so downsample-schedule changes don't
-        # recompile.
+        # sparsity_retain_ratio / ste_threshold gate Python branches and are
+        # static — each retain-ratio bump at a downsample crossing retraces
+        # once (a handful per run); counts/ratios are traced.
         self._j_contribution_pruning = jax.jit(
             M.contribution_pruning,
             static_argnames=("sparsity_retain_ratio", "ste_threshold"))
