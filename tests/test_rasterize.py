@@ -221,3 +221,48 @@ class Test3DVariant:
         vis_f = float(front["render"].max())
         vis_b = float(back["render"].max())
         assert (vis_f > 0.1) != (vis_b > 0.1)
+
+
+class TestRaggedImageSizes:
+    """Resolutions that are NOT multiples of the tile shape (every
+    MipNerf360 camera): partial edge tiles must mask out-of-image pixels
+    and the host reassembly must crop exactly."""
+
+    @pytest.mark.parametrize("w,h", [(90, 70), (130, 52), (33, 97)])
+    def test_matches_oracle(self, w, h):
+        scene = make_random_scene(60, seed=13)
+        cam = make_camera(w, h)
+        settings = RasterSettings(image_width=w, image_height=h,
+                                  pairs_per_triangle=16)
+        a = render(scene, "pallas", settings=settings, cam=cam)
+        b = render(scene, "oracle", settings=settings, cam=cam)
+        assert a["render"].shape == (3, h, w)
+        np.testing.assert_allclose(a["render"], b["render"], atol=1e-3)
+        np.testing.assert_allclose(a["depth"], b["depth"], rtol=1e-3, atol=1e-3)
+        np.testing.assert_array_equal(a["n_contrib"], b["n_contrib"])
+
+    def test_ragged_gradients(self):
+        scene = make_random_scene(40, seed=14)
+        cam = make_camera(90, 70)
+        settings = RasterSettings(image_width=90, image_height=70,
+                                  pairs_per_triangle=16)
+
+        def loss(vertex, opacity, impl):
+            out = rasterize(vertex, jnp.asarray(opacity), None, cam, settings,
+                            gamma=1.0, background=jnp.ones(3), bg_depth=10.0,
+                            colors=jnp.asarray(scene["rgb"]), impl=impl,
+                            interpret=True)
+            return (out["render"] ** 2).sum() + out["depth"].sum()
+
+        v = jnp.asarray(scene["vertex"])
+        o = jnp.asarray(scene["opacity"])
+        gp = jax.grad(loss, argnums=(0, 1))(v, o, "pallas")
+        go = jax.grad(loss, argnums=(0, 1))(v, o, "oracle")
+        for a, b in zip(gp, go):
+            # The backward runs its per-pair reduction matmul in bf16
+            # (documented design point, PARITY.md); a squared-image loss
+            # yields O(100) gradients whose small components are
+            # differences of large px-weighted pixel sums, so tolerance
+            # scales with the gradient magnitude, not elementwise.
+            scale = float(np.abs(np.asarray(b)).max())
+            np.testing.assert_allclose(a, b, rtol=5e-2, atol=5e-3 * scale)
