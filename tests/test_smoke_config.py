@@ -27,3 +27,15 @@ class TestSmokeConfig:
     def test_no_densify(self):
         cfg = make_smoke_config("/d", "/o", 100, densify=False)
         assert cfg.model.model_update.densification is None
+
+    def test_gs_model(self):
+        cfg = make_smoke_config("/d", "/o", 200, model="gs")
+        assert cfg.trainer.type == "VanillaGS"
+        assert cfg.model.optimizer.xyz is not None
+        assert cfg.model.optimizer.rotation is not None
+        assert cfg.model.optimizer.vertex is None
+
+    def test_gs_mesh_rejected(self):
+        import pytest
+        with pytest.raises(ValueError):
+            make_smoke_config("/d", "/o", 200, model="gs", mesh=True)

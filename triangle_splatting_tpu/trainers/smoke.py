@@ -23,12 +23,15 @@ import time
 
 
 def make_smoke_config(root, out_dir, iters: int, densify: bool = True,
-                      mesh: bool = False):
+                      mesh: bool = False, model: str = "ts"):
     """``mesh=True`` switches to the solidify pipeline: 3D rasterizer,
     gamma annealed 1->50 over the middle half, opacity STE + two-phase
     opacity regularization, GLB export at the end (the
-    NerfSynthetic_VanillaTS_mesh recipe at smoke scale)."""
+    NerfSynthetic_VanillaTS_mesh recipe at smoke scale). ``model="gs"``
+    trains the VanillaGS gaussian baseline instead."""
     from ..utils.config import dict_to_config
+    if model == "gs" and mesh:
+        raise ValueError("mesh/solidify is a triangle-model pipeline")
     model_update = {"sh_schedule": {"one_up_iters": [iters // 4]}}
     if densify:
         model_update.update({
@@ -50,6 +53,22 @@ def make_smoke_config(root, out_dir, iters: int, densify: bool = True,
         model_update["gamma_schedule"] = {
             "start_iter": iters // 4, "end_iter": iters * 3 // 4,
             "gamma_init": 1.0, "gamma_final": 50.0}
+    if model == "gs":
+        optimizer = {
+            "xyz": {"v_init": 0.002, "v_final": 0.0002, "max_steps": iters},
+            "scaling": {"v_init": 0.005, "v_final": 0.005, "max_steps": iters},
+            "rotation": {"v_init": 0.001, "v_final": 0.001, "max_steps": iters},
+            "opacity": {"v_init": 0.05, "v_final": 0.02, "max_steps": iters},
+            "f_dc": {"v_init": 0.02, "v_final": 0.005, "max_steps": iters},
+            "f_rest": {"v_init": 0.001, "v_final": 0.001, "max_steps": iters},
+        }
+    else:
+        optimizer = {
+            "vertex": {"v_init": 0.002, "v_final": 0.0002, "max_steps": iters},
+            "opacity": {"v_init": 0.05, "v_final": 0.02, "max_steps": iters},
+            "f_dc": {"v_init": 0.02, "v_final": 0.005, "max_steps": iters},
+            "f_rest": {"v_init": 0.001, "v_final": 0.001, "max_steps": iters},
+        }
     return dict_to_config({
         "dataset": {"type": "NerfSynthetic", "local_dir": str(root),
                     "background": "white", "use_alpha_mask": False,
@@ -61,18 +80,11 @@ def make_smoke_config(root, out_dir, iters: int, densify: bool = True,
             **({"ste_threshold": 0.3, "gamma_rescale": True} if mesh else {}),
             "pairs_per_triangle": 16,
             "sampling": {"sample_method": "direct", "init_opacity": 0.3},
-            "optimizer": {
-                "vertex": {"v_init": 0.002, "v_final": 0.0002,
-                           "max_steps": iters},
-                "opacity": {"v_init": 0.05, "v_final": 0.02,
-                            "max_steps": iters},
-                "f_dc": {"v_init": 0.02, "v_final": 0.005, "max_steps": iters},
-                "f_rest": {"v_init": 0.001, "v_final": 0.001,
-                           "max_steps": iters},
-            },
+            "optimizer": optimizer,
             "model_update": model_update,
         },
         "trainer": {
+            "type": "VanillaGS" if model == "gs" else "VanillaTS",
             "output_dir": str(out_dir), "iterations": iters,
             "initial_eval": False, "log_interval_iter": max(50, iters // 8),
             "eval_interval_iter": 0, "histogram_interval_iter": 0,
@@ -101,6 +113,8 @@ def main(argv=None):
     ap.add_argument("--mesh", action="store_true",
                     help="solidify pipeline: 3D rasterizer, gamma anneal "
                          "1->50, STE, GLB export")
+    ap.add_argument("--model", default="ts", choices=["ts", "gs"],
+                    help="ts = VanillaTS triangles, gs = VanillaGS gaussians")
     ap.add_argument("--min-gain", type=float, default=2.0,
                     help="required PSNR gain (dB) for exit code 0")
     args = ap.parse_args(argv)
@@ -108,7 +122,6 @@ def main(argv=None):
     from ..utils.jax_setup import setup
     setup()
 
-    from .vanilla_ts import VanillaTSTrainer
     from ..utils.testing import build_synthetic_nerf_dataset
 
     root = args.root or tempfile.mkdtemp(prefix="ts_smoke_")
@@ -121,8 +134,10 @@ def main(argv=None):
         pcd_points=max(args.n_tri // 2, 100), pcd_noise=0.1)
 
     cfg = make_smoke_config(data_dir, f"{root}/out", args.iters,
-                            densify=not args.no_densify, mesh=args.mesh)
-    trainer = VanillaTSTrainer(cfg, impl=args.impl, log_file=False)
+                            densify=not args.no_densify, mesh=args.mesh,
+                            model=args.model)
+    from . import build_trainer
+    trainer = build_trainer(cfg, impl=args.impl, log_file=False)
     trainer._init_model()
     psnr0 = float(trainer._evaluate(0))
     t0 = time.time()
