@@ -39,3 +39,12 @@ class TestSmokeConfig:
         import pytest
         with pytest.raises(ValueError):
             make_smoke_config("/d", "/o", 200, model="gs", mesh=True)
+
+    def test_scaffold_model(self):
+        cfg = make_smoke_config("/d", "/o", 200, model="scaffold")
+        assert cfg.trainer.type == "ScaffoldGS"
+        assert cfg.model.optimizer.mlp_color is not None
+        assert cfg.model.anchor_update is not None
+        cfg2 = make_smoke_config("/d", "/o", 200, model="scaffold",
+                                 densify=False)
+        assert cfg2.model.anchor_update is None
