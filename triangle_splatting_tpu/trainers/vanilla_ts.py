@@ -53,6 +53,10 @@ class VanillaTSTrainer(BaseTrainer):
         )
         self.impl = impl
         self.interpret = interpret
+        # trainer.data_parallel: N shards a batch of N cameras per step
+        # across an N-device mesh (no upstream equivalent; SURVEY.md §2.3).
+        self._dp_n = int(self.config.trainer.data_parallel or 0)
+        self._mesh = None
         self.scene_bbox = None
         scene_info = self.dataset.getSceneInfo()
         if scene_info is not None:
@@ -151,71 +155,78 @@ class VanillaTSTrainer(BaseTrainer):
     # ------------------------------------------------------------------
     # jitted steps
     # ------------------------------------------------------------------
+    def _camera_loss(self, settings: RasterSettings, p, c2d, state,
+                     camera: Camera, background, weights, nearest_idx):
+        """Per-camera training loss (VanillaTS_trainer.py:43-117). Shared by
+        the single-device step and the data-parallel shard_map step."""
+        cfg = self.model_cfg
+        pkg = M.forward(p, state, camera, background, cfg, settings,
+                        is_training=True, center2d_offset=c2d,
+                        impl=self.impl, interpret=self.interpret)
+        img = pkg["render"]
+        gt = camera.gt_image
+        if camera.alpha_mask is not None:
+            img = img * camera.alpha_mask
+            gt = gt * camera.alpha_mask
+
+        w = weights
+        loss = 0.0
+        loss += w["l1"] * L.l1(img, gt)
+        loss += w["ssim"] * L.ssim_loss(img, gt)
+        if self._w_dog > 0:
+            loss += w["dog"] * L.dog_loss(img, gt, freq=self._dog_freq)
+        if self._w_smooth > 0:
+            loss += w["smooth"] * L.smoothness_loss(img, gt)
+        if self._w_geometry > 0:
+            geo = L.depth_normal_loss(pkg["depth"], pkg["normal"],
+                                      camera.tan_fovx, camera.tan_fovy,
+                                      self._geo_scale_factor)
+            loss += w["geometry"] * geo
+        else:
+            geo = jnp.float32(0.0)
+
+        alive_f = state.alive.astype(jnp.float32)
+        n_alive = jnp.maximum(alive_f.sum(), 1.0)
+        scaling_reg = (pkg["scaling"] * alive_f).sum() / n_alive
+        loss += w["scaling"] * scaling_reg
+
+        op = pkg["opacity"][:, 0]
+        quad = ((0.25 - (op - 0.5) ** 2) * alive_f).sum() / n_alive
+        lin = ((1.0 - op) * alive_f).sum() / n_alive
+        loss += w["opacity_quad"] * quad + w["opacity_linear"] * lin
+
+        if self._w_vertex > 0 and nearest_idx is not None:
+            pts = p.vertex.reshape(-1, 3)
+            d2 = ((pts - pts[nearest_idx]) ** 2).sum(-1)
+            mask3 = jnp.repeat(alive_f, 3)
+            vloss = (d2 * mask3).sum() / jnp.maximum(mask3.sum(), 1.0)
+            loss += w["vertex"] * vloss
+        else:
+            vloss = jnp.float32(0.0)
+
+        if "render_original" in pkg and self._w_affine > 0:
+            orig = pkg["render_original"]
+            if camera.alpha_mask is not None:
+                orig = orig * camera.alpha_mask
+            loss += w["affine"] * L.l1(img, orig)
+
+        aux = dict(radii=pkg["radii"], contrib_sum=pkg["contrib_sum"],
+                   contrib_max=pkg["contrib_max"],
+                   visible_mask=pkg["visible_mask"],
+                   overflow=pkg["overflow"], num_pairs=pkg["num_pairs"],
+                   geo_loss=geo, vertex_loss=vloss)
+        return loss, aux
+
     @functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2, 3, 4))
     def _train_step(self, settings: RasterSettings, params, opt, state,
                     camera: Camera, background, lrs, weights, iteration,
                     nearest_idx):
         """One full training iteration (forward/loss/backward/Adam/stats)."""
-        cfg = self.model_cfg
         C = params.capacity
 
         def loss_fn(p, c2d):
-            pkg = M.forward(p, state, camera, background, cfg, settings,
-                            is_training=True, center2d_offset=c2d,
-                            impl=self.impl, interpret=self.interpret)
-            img = pkg["render"]
-            gt = camera.gt_image
-            if camera.alpha_mask is not None:
-                img = img * camera.alpha_mask
-                gt = gt * camera.alpha_mask
-
-            w = weights
-            loss = 0.0
-            loss += w["l1"] * L.l1(img, gt)
-            loss += w["ssim"] * L.ssim_loss(img, gt)
-            if self._w_dog > 0:
-                loss += w["dog"] * L.dog_loss(img, gt, freq=self._dog_freq)
-            if self._w_smooth > 0:
-                loss += w["smooth"] * L.smoothness_loss(img, gt)
-            if self._w_geometry > 0:
-                geo = L.depth_normal_loss(pkg["depth"], pkg["normal"],
-                                          camera.tan_fovx, camera.tan_fovy,
-                                          self._geo_scale_factor)
-                loss += w["geometry"] * geo
-            else:
-                geo = jnp.float32(0.0)
-
-            alive_f = state.alive.astype(jnp.float32)
-            n_alive = jnp.maximum(alive_f.sum(), 1.0)
-            scaling_reg = (pkg["scaling"] * alive_f).sum() / n_alive
-            loss += w["scaling"] * scaling_reg
-
-            op = pkg["opacity"][:, 0]
-            quad = ((0.25 - (op - 0.5) ** 2) * alive_f).sum() / n_alive
-            lin = ((1.0 - op) * alive_f).sum() / n_alive
-            loss += w["opacity_quad"] * quad + w["opacity_linear"] * lin
-
-            if self._w_vertex > 0 and nearest_idx is not None:
-                pts = p.vertex.reshape(-1, 3)
-                d2 = ((pts - pts[nearest_idx]) ** 2).sum(-1)
-                mask3 = jnp.repeat(alive_f, 3)
-                vloss = (d2 * mask3).sum() / jnp.maximum(mask3.sum(), 1.0)
-                loss += w["vertex"] * vloss
-            else:
-                vloss = jnp.float32(0.0)
-
-            if "render_original" in pkg and self._w_affine > 0:
-                orig = pkg["render_original"]
-                if camera.alpha_mask is not None:
-                    orig = orig * camera.alpha_mask
-                loss += w["affine"] * L.l1(img, orig)
-
-            aux = dict(radii=pkg["radii"], contrib_sum=pkg["contrib_sum"],
-                       contrib_max=pkg["contrib_max"],
-                       visible_mask=pkg["visible_mask"],
-                       overflow=pkg["overflow"], num_pairs=pkg["num_pairs"],
-                       geo_loss=geo, vertex_loss=vloss)
-            return loss, aux
+            return self._camera_loss(settings, p, c2d, state, camera,
+                                     background, weights, nearest_idx)
 
         c2d = jnp.zeros((C, 2), jnp.float32)
         (loss, aux), grads = jax.value_and_grad(loss_fn, argnums=(0, 1),
@@ -234,6 +245,94 @@ class VanillaTSTrainer(BaseTrainer):
         if st is None:
             return jnp.asarray(True)
         return (iteration > st.start_iter) & (iteration <= st.end_iter)
+
+    @functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2, 3, 4))
+    def _train_step_dp(self, settings: RasterSettings, params, opt, state,
+                       cameras: Camera, background, lrs, weights, iteration,
+                       nearest_idx):
+        """Camera-batch data-parallel train step over ``self._mesh``.
+
+        The reference's only multi-GPU mechanism is independent per-scene
+        processes (SURVEY.md §2.3); here one scene trains on N chips by
+        sharding a batch of N cameras across the mesh. Parameters are
+        replicated, every chip rasterizes its own camera, and the MEAN
+        gradient is ``psum``-med over ICI before a replicated Adam step —
+        so learning-rate/Adam hyperparameters keep their single-camera
+        meaning and one DP step averages N views. Densification statistics
+        keep per-VIEW semantics (VanillaTS_model.py:347-363): per-camera
+        ``center2D`` gradient norms and view counts are summed across the
+        mesh, contribution/radius maxima are ``pmax``-ed — identical to
+        running those N cameras through N sequential single-device steps.
+        """
+        try:
+            from jax import shard_map
+        except ImportError:  # pragma: no cover - jax version dependent
+            from jax.experimental.shard_map import shard_map
+
+        mesh = self._mesh
+        axis = "data"
+        n_dev = mesh.shape[axis]
+        repl, shard = jax.sharding.PartitionSpec(), \
+            jax.sharding.PartitionSpec(axis)
+        C = params.capacity
+
+        def per_device(params, opt, state, cameras, background, lrs, weights,
+                       nearest_idx, iteration):
+            camera = jax.tree_util.tree_map(lambda x: x[0], cameras)
+
+            def loss_fn(p, c2d):
+                loss, aux = self._camera_loss(settings, p, c2d, state, camera,
+                                              background, weights, nearest_idx)
+                return loss / n_dev, aux   # mean over the camera batch
+
+            c2d = jnp.zeros((C, 2), jnp.float32)
+            (loss, aux), grads = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True)(params, c2d)
+            g_params, g_c2d = grads
+            g_params = jax.lax.psum(g_params, axis)
+            loss = jax.lax.psum(loss, axis)
+            params, opt = M.adam_update(params, opt, g_params, lrs)
+
+            if self._track_stats:
+                # Per-view deltas reduced across the mesh, then applied once
+                # to the replicated state (order-exact vs sequential steps).
+                vis = aux["visible_mask"] & self._stat_gate(iteration)
+                visf = vis.astype(jnp.float32)
+                # NOTE: g_c2d here is the LOCAL camera's grad (pre-psum) —
+                # the statistic is the per-view grad norm, not the norm of
+                # the batch-summed grad.
+                gnorm = jnp.linalg.norm(g_c2d * n_dev, axis=-1)
+                d_acc = jax.lax.psum(jnp.where(vis, gnorm, 0.0), axis)
+                d_den = jax.lax.psum(visf, axis)
+                cs = jax.lax.pmax(jnp.where(vis, aux["contrib_sum"], 0.0), axis)
+                cm = jax.lax.pmax(jnp.where(vis, aux["contrib_max"], 0.0), axis)
+                rad = jax.lax.pmax(
+                    jnp.where(vis, aux["radii"].astype(jnp.float32), 0.0), axis)
+                from dataclasses import replace as _replace
+                state = _replace(
+                    state,
+                    gradient_accum=state.gradient_accum + d_acc,
+                    gradient_denom=state.gradient_denom + d_den,
+                    contrib_sum=jnp.maximum(state.contrib_sum, cs),
+                    contrib_max=jnp.maximum(state.contrib_max, cm),
+                    contrib_denom=state.contrib_denom + d_den,
+                    max_radii2d=jnp.maximum(state.max_radii2d, rad))
+
+            slim = dict(
+                overflow=jax.lax.pmax(
+                    aux["overflow"].astype(jnp.int32), axis) > 0,
+                num_pairs=jax.lax.pmax(aux["num_pairs"], axis),
+                geo_loss=jax.lax.psum(aux["geo_loss"], axis) / n_dev,
+                vertex_loss=jax.lax.psum(aux["vertex_loss"], axis) / n_dev)
+            return params, opt, state, loss, slim
+
+        smapped = shard_map(
+            per_device, mesh=mesh,
+            in_specs=(repl, repl, repl, shard, repl, repl, repl, repl, repl),
+            out_specs=(repl, repl, repl, repl, repl),
+            check_vma=False)
+        return smapped(params, opt, state, cameras, background, lrs, weights,
+                       nearest_idx, jnp.int32(iteration))
 
     @functools.partial(jax.jit, static_argnums=(0, 1, 6))
     def _eval_step(self, settings, params, state, camera, background, eval_mask: bool):
@@ -486,6 +585,17 @@ class VanillaTSTrainer(BaseTrainer):
         first_iter = self._init_model()
         self._track_stats = (self._mu is not None and self._mu.statistic is not None)
 
+        if self._dp_n > 1:
+            from ..parallel.mesh import make_mesh
+            if len(jax.devices()) < self._dp_n:
+                raise ValueError(
+                    f"trainer.data_parallel={self._dp_n} but only "
+                    f"{len(jax.devices())} devices are visible")
+            self._mesh = make_mesh(self._dp_n)
+            self.logger.info(
+                f"Camera-batch data parallelism over {self._dp_n} devices "
+                f"({self._dp_n} views per step, mean-gradient psum)")
+
         if cfgt.initial_eval:
             self._evaluate(first_iter)
 
@@ -497,6 +607,10 @@ class VanillaTSTrainer(BaseTrainer):
         for iteration in range(first_iter + 1, (cfgt.iterations or 30000) + 1):
             timer.log("data loading")
             camera = self.dataset.nextTrainData()
+            dp_cameras = None
+            if self._dp_n > 1:
+                dp_cameras = [camera] + [self.dataset.nextTrainData()
+                                         for _ in range(self._dp_n - 1)]
             settings = self._settings_for(camera)
             if self.model_cfg.back_culling \
                     and self.model_cfg.back_culling_prob < 1.0:
@@ -524,9 +638,20 @@ class VanillaTSTrainer(BaseTrainer):
                 nearest_idx = nearest_neighbor(
                     pts, 3, jnp.repeat(self.state.alive, 3))
 
-            self.params, self.opt, self.state, loss, aux = self._train_step(
-                settings, self.params, self.opt, self.state, camera,
-                background, lrs, weights, np.int32(iteration), nearest_idx)
+            if dp_cameras is not None:
+                from ..parallel.mesh import stack_cameras
+                batch = stack_cameras([c.strip_static() for c in dp_cameras])
+                self.params, self.opt, self.state, loss, aux = \
+                    self._train_step_dp(
+                        settings, self.params, self.opt, self.state, batch,
+                        background, lrs, weights, np.int32(iteration),
+                        nearest_idx)
+            else:
+                self.params, self.opt, self.state, loss, aux = \
+                    self._train_step(
+                        settings, self.params, self.opt, self.state, camera,
+                        background, lrs, weights, np.int32(iteration),
+                        nearest_idx)
 
             if cfgt.eval_interval_iter and iteration % cfgt.eval_interval_iter == 0:
                 timer.log("evaluation")
