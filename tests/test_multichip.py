@@ -40,6 +40,24 @@ class TestMultichip:
         # per-view statistics accumulated across the mesh (2 views/step)
         assert float(trainer.state.gradient_denom.sum()) > 0
 
+    def test_gs_trainer_dp_e2e(self, tmp_path):
+        """VanillaGSTrainer with trainer.data_parallel=2 trains on the mesh."""
+        from triangle_splatting_tpu.trainers.smoke import make_smoke_config
+        from triangle_splatting_tpu.trainers.vanilla_gs import VanillaGSTrainer
+        from triangle_splatting_tpu.utils.testing import build_synthetic_nerf_dataset
+
+        root = build_synthetic_nerf_dataset(tmp_path / "data", res=48,
+                                            n_tri=100, n_train=6, n_test=2)
+        cfg = make_smoke_config(root, tmp_path / "out", 10, model="gs",
+                                densify=False)
+        cfg.trainer.data_parallel = 2
+        trainer = VanillaGSTrainer(cfg, impl="oracle", log_file=False)
+        trainer._init_model()
+        x0 = np.asarray(trainer.params.xyz).copy()
+        trainer.train()
+        assert np.isfinite(trainer._evaluate(10))
+        assert np.abs(np.asarray(trainer.params.xyz) - x0).max() > 0
+
     def test_trainer_dp_step_matches_mean_gradient(self, tmp_path):
         """One _train_step_dp over 2 cameras == Adam on the mean of the two
         per-camera gradients, with per-VIEW statistics (grad norms summed,

@@ -41,6 +41,10 @@ class VanillaGSTrainer(BaseTrainer):
             max_sh_degree=mc.max_sh_degree if mc.max_sh_degree is not None else 3)
         self.impl = impl
         self.interpret = interpret
+        # trainer.data_parallel: N cameras/step sharded over an N-device mesh
+        # (same semantics as VanillaTSTrainer._train_step_dp).
+        self._dp_n = int(self.config.trainer.data_parallel or 0)
+        self._mesh = None
         self.params = None
         self.state = None
         self.opt = None
@@ -89,27 +93,34 @@ class VanillaGSTrainer(BaseTrainer):
             max_sh_degree=self.model_cfg.max_sh_degree,
             pairs_per_triangle=self._ppt)
 
+    def _camera_loss(self, settings, p, m2d, state, camera, background,
+                     weights):
+        """Per-camera L1+SSIM loss (VanillaGS_trainer.py); shared by the
+        single-device and data-parallel steps."""
+        pkg = G.forward(p, state, camera, background, self.model_cfg,
+                        settings, mean2d_offset=m2d, impl=self.impl,
+                        interpret=self.interpret)
+        img = pkg["render"]
+        gt = camera.gt_image
+        if camera.alpha_mask is not None:
+            img = img * camera.alpha_mask
+            gt = gt * camera.alpha_mask
+        loss = weights["l1"] * L.l1(img, gt) \
+            + weights["ssim"] * L.ssim_loss(img, gt)
+        aux = dict(radii=pkg["radii"], contrib_sum=pkg["contrib_sum"],
+                   contrib_max=pkg["contrib_max"],
+                   visible_mask=pkg["visible_mask"],
+                   overflow=pkg["overflow"])
+        return loss, aux
+
     @functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2, 3, 4))
     def _train_step(self, settings, params, opt, state, camera, background,
                     lrs, weights):
         C = params.capacity
 
         def loss_fn(p, m2d):
-            pkg = G.forward(p, state, camera, background, self.model_cfg,
-                            settings, mean2d_offset=m2d, impl=self.impl,
-                            interpret=self.interpret)
-            img = pkg["render"]
-            gt = camera.gt_image
-            if camera.alpha_mask is not None:
-                img = img * camera.alpha_mask
-                gt = gt * camera.alpha_mask
-            loss = weights["l1"] * L.l1(img, gt) \
-                + weights["ssim"] * L.ssim_loss(img, gt)
-            aux = dict(radii=pkg["radii"], contrib_sum=pkg["contrib_sum"],
-                       contrib_max=pkg["contrib_max"],
-                       visible_mask=pkg["visible_mask"],
-                       overflow=pkg["overflow"])
-            return loss, aux
+            return self._camera_loss(settings, p, m2d, state, camera,
+                                     background, weights)
 
         m2d = jnp.zeros((C, 2), jnp.float32)
         (loss, aux), grads = jax.value_and_grad(loss_fn, argnums=(0, 1),
@@ -121,6 +132,69 @@ class VanillaGSTrainer(BaseTrainer):
                                         aux["contrib_sum"], aux["contrib_max"],
                                         aux["visible_mask"])
         return params, opt, state, loss, aux
+
+    @functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2, 3, 4))
+    def _train_step_dp(self, settings, params, opt, state, cameras,
+                       background, lrs, weights):
+        """Camera-batch DP step over ``self._mesh``: mean-gradient psum,
+        replicated Adam, per-VIEW statistics reduced across the mesh
+        (identical semantics to VanillaTSTrainer._train_step_dp)."""
+        try:
+            from jax import shard_map
+        except ImportError:  # pragma: no cover - jax version dependent
+            from jax.experimental.shard_map import shard_map
+
+        mesh = self._mesh
+        axis = "data"
+        n_dev = mesh.shape[axis]
+        repl, shard = jax.sharding.PartitionSpec(), \
+            jax.sharding.PartitionSpec(axis)
+        C = params.capacity
+
+        def per_device(params, opt, state, cameras, background, lrs, weights):
+            camera = jax.tree_util.tree_map(lambda x: x[0], cameras)
+
+            def loss_fn(p, m2d):
+                loss, aux = self._camera_loss(settings, p, m2d, state, camera,
+                                              background, weights)
+                return loss / n_dev, aux
+
+            m2d = jnp.zeros((C, 2), jnp.float32)
+            (loss, aux), grads = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True)(params, m2d)
+            g_params, g_m2d = grads
+            g_params = jax.lax.psum(g_params, axis)
+            loss = jax.lax.psum(loss, axis)
+            params, opt = G.adam_update(params, opt, g_params, lrs)
+
+            if self._track_stats:
+                vis = aux["visible_mask"]
+                gnorm = G.safe_norm(g_m2d * n_dev)   # per-view grad norm
+                d_acc = jax.lax.psum(jnp.where(vis, gnorm, 0.0), axis)
+                d_den = jax.lax.psum(vis.astype(jnp.float32), axis)
+                cs = jax.lax.pmax(jnp.where(vis, aux["contrib_sum"], 0.0), axis)
+                cm = jax.lax.pmax(jnp.where(vis, aux["contrib_max"], 0.0), axis)
+                rad = jax.lax.pmax(
+                    jnp.where(vis, aux["radii"].astype(jnp.float32), 0.0), axis)
+                state = replace(
+                    state,
+                    gradient_accum=state.gradient_accum + d_acc,
+                    gradient_denom=state.gradient_denom + d_den,
+                    contrib_sum=jnp.maximum(state.contrib_sum, cs),
+                    contrib_max=jnp.maximum(state.contrib_max, cm),
+                    contrib_denom=state.contrib_denom + d_den,
+                    max_radii2d=jnp.maximum(state.max_radii2d, rad))
+
+            slim = dict(overflow=jax.lax.pmax(
+                aux["overflow"].astype(jnp.int32), axis) > 0)
+            return params, opt, state, loss, slim
+
+        smapped = shard_map(
+            per_device, mesh=mesh,
+            in_specs=(repl, repl, repl, shard, repl, repl, repl),
+            out_specs=(repl, repl, repl, repl, repl),
+            check_vma=False)
+        return smapped(params, opt, state, cameras, background, lrs, weights)
 
     @functools.partial(jax.jit, static_argnums=(0, 1))
     def _eval_step(self, settings, params, state, camera, background):
@@ -187,12 +261,25 @@ class VanillaGSTrainer(BaseTrainer):
         cfgt = self.config.trainer
         self._init_model()
         self._track_stats = (self._mu is not None and self._mu.statistic is not None)
+        if self._dp_n > 1:
+            from ..parallel.mesh import make_mesh
+            if len(jax.devices()) < self._dp_n:
+                raise ValueError(
+                    f"trainer.data_parallel={self._dp_n} but only "
+                    f"{len(jax.devices())} devices are visible")
+            self._mesh = make_mesh(self._dp_n)
+            self.logger.info(
+                f"Camera-batch data parallelism over {self._dp_n} devices")
         if cfgt.initial_eval:
             self._evaluate(0)
         timer = Timer("Training")
         for iteration in range(1, (cfgt.iterations or 30000) + 1):
             timer.log("data loading")
             camera = self.dataset.nextTrainData()
+            dp_cameras = None
+            if self._dp_n > 1:
+                dp_cameras = [camera] + [self.dataset.nextTrainData()
+                                         for _ in range(self._dp_n - 1)]
             settings = self._settings_for(camera)
             camera = camera.strip_static()
             self._profile_hooks(iteration)
@@ -201,9 +288,18 @@ class VanillaGSTrainer(BaseTrainer):
                                               self._rng))
             weights = {"l1": _f32(1.0 - (cfgt.w_ssim or 0.0)),
                        "ssim": _f32(cfgt.w_ssim or 0.0)}
-            self.params, self.opt, self.state, loss, aux = self._train_step(
-                settings, self.params, self.opt, self.state, camera, bg,
-                self._lrs(iteration), weights)
+            if dp_cameras is not None:
+                from ..parallel.mesh import stack_cameras
+                batch = stack_cameras([c.strip_static() for c in dp_cameras])
+                self.params, self.opt, self.state, loss, aux = \
+                    self._train_step_dp(
+                        settings, self.params, self.opt, self.state, batch,
+                        bg, self._lrs(iteration), weights)
+            else:
+                self.params, self.opt, self.state, loss, aux = \
+                    self._train_step(
+                        settings, self.params, self.opt, self.state, camera,
+                        bg, self._lrs(iteration), weights)
             if cfgt.eval_interval_iter and iteration % cfgt.eval_interval_iter == 0:
                 timer.log("evaluation")
                 self._evaluate(iteration)
