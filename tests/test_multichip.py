@@ -58,6 +58,25 @@ class TestMultichip:
         assert np.isfinite(trainer._evaluate(10))
         assert np.abs(np.asarray(trainer.params.xyz) - x0).max() > 0
 
+    def test_scaffold_trainer_dp_e2e(self, tmp_path):
+        """ScaffoldGSTrainer with trainer.data_parallel=2: anchors + MLPs
+        replicated, cameras sharded, per-view anchor statistics psum-med."""
+        from triangle_splatting_tpu.trainers.smoke import make_smoke_config
+        from triangle_splatting_tpu.trainers.scaffold_gs import ScaffoldGSTrainer
+        from triangle_splatting_tpu.utils.testing import build_synthetic_nerf_dataset
+
+        root = build_synthetic_nerf_dataset(tmp_path / "data", res=48,
+                                            n_tri=100, n_train=6, n_test=2)
+        cfg = make_smoke_config(root, tmp_path / "out", 10, model="scaffold")
+        cfg.trainer.data_parallel = 2
+        trainer = ScaffoldGSTrainer(cfg, impl="oracle", log_file=False)
+        trainer._init_model()
+        f0 = np.asarray(trainer.params.anchor_feat).copy()
+        trainer.train()
+        assert np.isfinite(trainer._evaluate(10))
+        assert np.abs(np.asarray(trainer.params.anchor_feat) - f0).max() > 0
+        assert float(trainer.state.anchor_denom.sum()) > 0
+
     def test_trainer_dp_step_matches_mean_gradient(self, tmp_path):
         """One _train_step_dp over 2 cameras == Adam on the mean of the two
         per-camera gradients, with per-VIEW statistics (grad norms summed,

@@ -62,6 +62,10 @@ class ScaffoldGSTrainer(BaseTrainer):
             if mc.anchor_update is not None else 4)
         self.impl = impl
         self.interpret = interpret
+        # trainer.data_parallel: N cameras/step sharded over an N-device
+        # mesh (same semantics as VanillaTSTrainer._train_step_dp).
+        self._dp_n = int(self.config.trainer.data_parallel or 0)
+        self._mesh = None
         self.params = None
         self.state = None
         self.opt = None
@@ -111,43 +115,50 @@ class ScaffoldGSTrainer(BaseTrainer):
             max_sh_degree=0,
             pairs_per_triangle=self._ppt)
 
+    def _camera_loss(self, settings, p, m2d, state, camera, background,
+                     weights):
+        """Per-camera loss (ScaffoldGS_trainer.py:28-42); shared by the
+        single-device and data-parallel steps."""
+        k = self.model_cfg.n_offsets
+        pkg = S.forward(p, state, camera, background, self.model_cfg,
+                        settings, mean2d_offset=m2d,
+                        scene_bbox=None, impl=self.impl,
+                        interpret=self.interpret)
+        img = pkg["render"]
+        gt = camera.gt_image
+        if camera.alpha_mask is not None:
+            img = img * camera.alpha_mask
+            gt = gt * camera.alpha_mask
+        sel = pkg["selection_mask"]
+        n_sel = jnp.maximum(sel.sum(), 1.0)
+        # scaling reg over SELECTED gaussians, opacity reg over all
+        # offsets of visible anchors (ScaffoldGS_trainer.py:28-42)
+        scaling_reg = (pkg["scaling"]
+                       * sel[..., None]).sum() / (3.0 * n_sel)
+        vis = pkg["anchor_visible_mask"][:, None]
+        n_vis = jnp.maximum(vis.sum() * k, 1.0)
+        op = pkg["gaussian_opacity"]
+        opacity_reg = ((0.25 - (op - 0.5) ** 2) * vis).sum() / n_vis
+        loss = weights["l1"] * L.l1(img, gt) \
+            + weights["ssim"] * L.ssim_loss(img, gt) \
+            + weights["scaling"] * scaling_reg \
+            + weights["opacity"] * opacity_reg
+        aux = dict(pkg=dict(
+            anchor_visible_mask=pkg["anchor_visible_mask"],
+            gaussian_visible_mask=pkg["gaussian_visible_mask"],
+            gaussian_opacity=pkg["gaussian_opacity"]),
+            n_gaussians=sel.sum(), overflow=pkg["overflow"])
+        return loss, aux
+
     @functools.partial(jax.jit, static_argnums=(0, 1),
                        donate_argnums=(2, 3, 4))
     def _train_step(self, settings, params, opt, state, camera, background,
                     lrs, weights):
-        k = self.model_cfg.n_offsets
-        N = params.capacity * k
+        N = params.capacity * self.model_cfg.n_offsets
 
         def loss_fn(p, m2d):
-            pkg = S.forward(p, state, camera, background, self.model_cfg,
-                            settings, mean2d_offset=m2d,
-                            scene_bbox=None, impl=self.impl,
-                            interpret=self.interpret)
-            img = pkg["render"]
-            gt = camera.gt_image
-            if camera.alpha_mask is not None:
-                img = img * camera.alpha_mask
-                gt = gt * camera.alpha_mask
-            sel = pkg["selection_mask"]
-            n_sel = jnp.maximum(sel.sum(), 1.0)
-            # scaling reg over SELECTED gaussians, opacity reg over all
-            # offsets of visible anchors (ScaffoldGS_trainer.py:28-42)
-            scaling_reg = (pkg["scaling"]
-                           * sel[..., None]).sum() / (3.0 * n_sel)
-            vis = pkg["anchor_visible_mask"][:, None]
-            n_vis = jnp.maximum(vis.sum() * k, 1.0)
-            op = pkg["gaussian_opacity"]
-            opacity_reg = ((0.25 - (op - 0.5) ** 2) * vis).sum() / n_vis
-            loss = weights["l1"] * L.l1(img, gt) \
-                + weights["ssim"] * L.ssim_loss(img, gt) \
-                + weights["scaling"] * scaling_reg \
-                + weights["opacity"] * opacity_reg
-            aux = dict(pkg=dict(
-                anchor_visible_mask=pkg["anchor_visible_mask"],
-                gaussian_visible_mask=pkg["gaussian_visible_mask"],
-                gaussian_opacity=pkg["gaussian_opacity"]),
-                n_gaussians=sel.sum(), overflow=pkg["overflow"])
-            return loss, aux
+            return self._camera_loss(settings, p, m2d, state, camera,
+                                     background, weights)
 
         m2d = jnp.zeros((N, 2), jnp.float32)
         (loss, aux), grads = jax.value_and_grad(
@@ -158,6 +169,76 @@ class ScaffoldGSTrainer(BaseTrainer):
             state = S.update_statistics(state, g_m2d, aux["pkg"],
                                         self.model_cfg.n_offsets)
         return params, opt, state, loss, aux
+
+    @functools.partial(jax.jit, static_argnums=(0, 1),
+                       donate_argnums=(2, 3, 4))
+    def _train_step_dp(self, settings, params, opt, state, cameras,
+                       background, lrs, weights):
+        """Camera-batch DP step over ``self._mesh`` (same semantics as
+        VanillaTSTrainer._train_step_dp). Scaffold's anchor-update
+        statistics (ScaffoldGS_model.py:243-386 cadence inputs) are all
+        per-view sums, so the cross-mesh reduction is a plain psum of the
+        per-view deltas."""
+        try:
+            from jax import shard_map
+        except ImportError:  # pragma: no cover - jax version dependent
+            from jax.experimental.shard_map import shard_map
+
+        mesh = self._mesh
+        axis = "data"
+        n_dev = mesh.shape[axis]
+        repl, shard = jax.sharding.PartitionSpec(), \
+            jax.sharding.PartitionSpec(axis)
+        k = self.model_cfg.n_offsets
+        N = params.capacity * k
+
+        def per_device(params, opt, state, cameras, background, lrs, weights):
+            camera = jax.tree_util.tree_map(lambda x: x[0], cameras)
+
+            def loss_fn(p, m2d):
+                loss, aux = self._camera_loss(settings, p, m2d, state, camera,
+                                              background, weights)
+                return loss / n_dev, aux
+
+            m2d = jnp.zeros((N, 2), jnp.float32)
+            (loss, aux), grads = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True)(params, m2d)
+            g_params, g_m2d = grads
+            g_params = jax.lax.psum(g_params, axis)
+            loss = jax.lax.psum(loss, axis)
+            params, opt = S.adam_update(params, opt, g_params, lrs)
+
+            if self._track_stats:
+                pkg = aux["pkg"]
+                vis_anchor = pkg["anchor_visible_mask"]
+                g_vis = pkg["gaussian_visible_mask"]
+                max_op = jnp.max(pkg["gaussian_opacity"], axis=1)
+                gnorm = S.safe_norm(
+                    (g_m2d * n_dev)[:, :2]).reshape(params.capacity, k)
+                d_op = jax.lax.psum(jnp.where(vis_anchor, max_op, 0.0), axis)
+                d_aden = jax.lax.psum(vis_anchor.astype(jnp.float32), axis)
+                d_g = jax.lax.psum(jnp.where(g_vis, gnorm, 0.0), axis)
+                d_oden = jax.lax.psum(g_vis.astype(jnp.float32), axis)
+                state = replace(
+                    state,
+                    opacity_accum=state.opacity_accum + d_op,
+                    anchor_denom=state.anchor_denom + d_aden,
+                    offset_grad_accum=state.offset_grad_accum + d_g,
+                    offset_denom=state.offset_denom + d_oden)
+
+            slim = dict(
+                # mean selected count/view, comparable to single-device logs
+                n_gaussians=jax.lax.psum(aux["n_gaussians"], axis) / n_dev,
+                overflow=jax.lax.pmax(
+                    aux["overflow"].astype(jnp.int32), axis) > 0)
+            return params, opt, state, loss, slim
+
+        smapped = shard_map(
+            per_device, mesh=mesh,
+            in_specs=(repl, repl, repl, shard, repl, repl, repl),
+            out_specs=(repl, repl, repl, repl, repl),
+            check_vma=False)
+        return smapped(params, opt, state, cameras, background, lrs, weights)
 
     @functools.partial(jax.jit, static_argnums=(0, 1))
     def _eval_step(self, settings, params, state, camera, background):
@@ -222,12 +303,25 @@ class ScaffoldGSTrainer(BaseTrainer):
         cfgt = self.config.trainer
         self._init_model()
         self._track_stats = self._u is not None
+        if self._dp_n > 1:
+            from ..parallel.mesh import make_mesh
+            if len(jax.devices()) < self._dp_n:
+                raise ValueError(
+                    f"trainer.data_parallel={self._dp_n} but only "
+                    f"{len(jax.devices())} devices are visible")
+            self._mesh = make_mesh(self._dp_n)
+            self.logger.info(
+                f"Camera-batch data parallelism over {self._dp_n} devices")
         if cfgt.initial_eval:
             self._evaluate(0)
         timer = Timer("Training")
         for iteration in range(1, (cfgt.iterations or 30000) + 1):
             timer.log("data loading")
             camera = self.dataset.nextTrainData()
+            dp_cameras = None
+            if self._dp_n > 1:
+                dp_cameras = [camera] + [self.dataset.nextTrainData()
+                                         for _ in range(self._dp_n - 1)]
             settings = self._settings_for(camera)
             camera = camera.strip_static()
             self._profile_hooks(iteration)
@@ -238,9 +332,18 @@ class ScaffoldGSTrainer(BaseTrainer):
                        "ssim": _f32(cfgt.w_ssim or 0.0),
                        "scaling": _f32(cfgt.w_scaling_reg or 0.0),
                        "opacity": _f32(cfgt.w_opacity_reg or 0.0)}
-            self.params, self.opt, self.state, loss, aux = self._train_step(
-                settings, self.params, self.opt, self.state, camera, bg,
-                self._lrs(iteration), weights)
+            if dp_cameras is not None:
+                from ..parallel.mesh import stack_cameras
+                batch = stack_cameras([c.strip_static() for c in dp_cameras])
+                self.params, self.opt, self.state, loss, aux = \
+                    self._train_step_dp(
+                        settings, self.params, self.opt, self.state, batch,
+                        bg, self._lrs(iteration), weights)
+            else:
+                self.params, self.opt, self.state, loss, aux = \
+                    self._train_step(
+                        settings, self.params, self.opt, self.state, camera,
+                        bg, self._lrs(iteration), weights)
             self._maintain_constraints(iteration)
             if cfgt.eval_interval_iter and \
                     iteration % cfgt.eval_interval_iter == 0:
