@@ -162,6 +162,9 @@ def main(argv=None):
                          "gaussians, scaffold = ScaffoldGS anchors+MLPs")
     ap.add_argument("--min-gain", type=float, default=2.0,
                     help="required PSNR gain (dB) for exit code 0")
+    ap.add_argument("--dp", type=int, default=0,
+                    help="trainer.data_parallel: shard N cameras/step over "
+                         "an N-device mesh (needs N visible devices)")
     args = ap.parse_args(argv)
 
     from ..utils.jax_setup import setup
@@ -181,6 +184,8 @@ def main(argv=None):
     cfg = make_smoke_config(data_dir, f"{root}/out", args.iters,
                             densify=not args.no_densify, mesh=args.mesh,
                             model=args.model)
+    if args.dp:
+        cfg.trainer.data_parallel = args.dp
     from . import build_trainer
     trainer = build_trainer(cfg, impl=args.impl, log_file=False)
     trainer._init_model()
