@@ -70,16 +70,30 @@ def build_jobs(args):
     return jobs
 
 
+# Reference CLI spelling (run_experiments.py:99-110) -> config name
+TYPE_ALIASES = {
+    "NerfSynthetic": "NerfSynthetic_VanillaTS",
+    "NerfSynthetic_mesh": "NerfSynthetic_VanillaTS_mesh",
+    "MipNerf360": "MipNerf360_VanillaTS",
+    "TanksAndBlending": "TanksAndBlending_VanillaTS",
+    "MatrixCity_mesh": "MatrixCity_VanillaTS_mesh",
+}
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--type", required=True, choices=[
         "NerfSynthetic_VanillaTS", "NerfSynthetic_VanillaTS_mesh",
         "MipNerf360_VanillaTS", "TanksAndBlending_VanillaTS",
-        "MatrixCity_VanillaTS_mesh"])
+        "MatrixCity_VanillaTS_mesh", *TYPE_ALIASES],
+        help="experiment preset; the reference's short spellings "
+             "(NerfSynthetic, NerfSynthetic_mesh, MipNerf360, "
+             "TanksAndBlending, MatrixCity_mesh) are accepted as aliases")
     parser.add_argument("--dataset_path", required=True)
     parser.add_argument("--scenes", nargs="*", default=None)
     parser.add_argument("--num_workers", type=int, default=1)
     args = parser.parse_args()
+    args.type = TYPE_ALIASES.get(args.type, args.type)
 
     jobs = build_jobs(args)
     from triangle_splatting_tpu.utils.pipeline_utils import run_exp_with_args

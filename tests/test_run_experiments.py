@@ -47,3 +47,12 @@ class TestBuildJobs:
         jobs = RE.build_jobs(_args(type="TanksAndBlending_VanillaTS",
                                    dataset_path="/d", scenes=["truck"]))
         assert [j[2] for j in jobs] == ["truck"]
+
+    def test_reference_type_aliases(self):
+        """The reference's short --type spellings (run_experiments.py:99-110)
+        resolve to the same presets."""
+        for short, full in RE.TYPE_ALIASES.items():
+            a = RE.build_jobs(_args(type=full, dataset_path="/d"))
+            b = RE.build_jobs(_args(type=RE.TYPE_ALIASES.get(short, short),
+                                    dataset_path="/d"))
+            assert a == b

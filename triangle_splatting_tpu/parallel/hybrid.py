@@ -33,11 +33,20 @@ Densification statistics keep per-view semantics: slab-local per-triangle
 quantities live in canonical index space via a scatter into (C,)-sized
 zeros; ``psum`` over the model axis assembles each view's full vector, the
 usual per-view deltas then reduce over the data axis (parallel/mesh.py).
+
+KNOWN DEVIATION (statistics only; loss/gradients/radii are exact): a
+slab's kernel starts at transmittance 1 and cannot see the occlusion
+arriving from nearer slabs, so ``contrib_sum``/``contrib_max`` for
+triangles behind other slabs' geometry are OVERSTATED relative to the
+single-device ``alpha * T_global`` definition (VanillaTS_model.py:467-532
+feeds these into contribution pruning). The bias is strictly conservative
+— occluded triangles look more important and are pruned later, never
+earlier; ``gradient_accum`` (from the exact composite gradient) and
+``max_radii2d`` (occlusion-independent) are unaffected.
 """
 
 from __future__ import annotations
 
-from dataclasses import replace
 from typing import Callable
 
 import jax
@@ -48,11 +57,7 @@ from ..models import triangle as M
 from ..ops.projection import RasterSettings
 from ..ops.rasterize import rasterize
 from .depth_sharded import composite_over, partition_by_depth
-
-try:
-    from jax import shard_map as _shard_map
-except ImportError:  # pragma: no cover - older jax
-    from jax.experimental.shard_map import shard_map as _shard_map
+from .mesh import get_shard_map, reduce_view_statistics
 
 
 def make_hybrid_mesh(n_data: int, n_model: int,
@@ -152,21 +157,9 @@ def make_hybrid_train_step(mesh: Mesh, settings: RasterSettings,
             radii = jax.lax.psum(aux["radii"], model_axis)
             c_sum = jax.lax.psum(aux["contrib_sum"], model_axis)
             c_max = jax.lax.psum(aux["contrib_max"], model_axis)
-            gnorm = jnp.linalg.norm(g_c2d_cam, axis=-1)
-            visf = vis.astype(jnp.float32)
-            d_acc = jax.lax.psum(jnp.where(vis, gnorm, 0.0), data_axis)
-            d_den = jax.lax.psum(visf, data_axis)
-            cs = jax.lax.pmax(jnp.where(vis, c_sum, 0.0), data_axis)
-            cm = jax.lax.pmax(jnp.where(vis, c_max, 0.0), data_axis)
-            rad = jax.lax.pmax(jnp.where(vis, radii, 0.0), data_axis)
-            state = replace(
-                state,
-                gradient_accum=state.gradient_accum + d_acc,
-                gradient_denom=state.gradient_denom + d_den,
-                contrib_sum=jnp.maximum(state.contrib_sum, cs),
-                contrib_max=jnp.maximum(state.contrib_max, cm),
-                contrib_denom=state.contrib_denom + d_den,
-                max_radii2d=jnp.maximum(state.max_radii2d, rad))
+            state = reduce_view_statistics(
+                state, vis, jnp.linalg.norm(g_c2d_cam, axis=-1),
+                c_sum, c_max, radii, data_axis)
 
         slim = dict(
             overflow=jax.lax.pmax(aux["overflow"].astype(jnp.int32),
@@ -175,7 +168,7 @@ def make_hybrid_train_step(mesh: Mesh, settings: RasterSettings,
                                    (data_axis, model_axis)))
         return params, opt, state, loss, slim
 
-    smapped = _shard_map(
+    smapped = get_shard_map()(
         per_device, mesh=mesh,
         in_specs=(repl, repl, repl, cam_spec, repl, repl, repl),
         out_specs=(repl, repl, repl, repl, repl),

@@ -39,6 +39,60 @@ def stack_cameras(cameras: list[Camera]) -> Camera:
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *cameras)
 
 
+def get_shard_map():
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover - jax version dependent
+        from jax.experimental.shard_map import shard_map
+    return shard_map
+
+
+def stack_dp_cameras(cameras: list[Camera]) -> Camera:
+    """Validate + stack a data-parallel camera batch.
+
+    A DP batch renders every view with one RasterSettings, so mixed
+    resolutions (common in raw COLMAP captures, datasets/colmap.py) cannot
+    shard — fail with an actionable error instead of a deep jnp.stack
+    shape mismatch thousands of iterations in."""
+    sizes = {(c.image_width, c.image_height) for c in cameras}
+    if len(sizes) > 1:
+        raise ValueError(
+            "trainer.data_parallel requires all cameras in a step's batch "
+            f"to share one resolution; got {sorted(sizes)}. Set the "
+            "dataset's target_res to a fixed [W, H] to equalize them.")
+    return stack_cameras([c.strip_static() for c in cameras])
+
+
+def reduce_view_statistics(state, vis, per_view_gnorm, contrib_sum,
+                           contrib_max, radii, axis):
+    """Apply one camera-batch's densification-statistic deltas to the
+    replicated state, reduced across mesh axis/axes ``axis``.
+
+    Per-VIEW semantics (VanillaTS_model.py:347-363; TriangleState and
+    GaussianState share these field names): per-camera ``center2D``/
+    ``mean2D`` gradient norms and view counts are SUMMED, contribution and
+    radius maxima are ``pmax``-ed — identical to running the batch's views
+    through sequential single-device ``update_statistics`` calls
+    (contributions/radii are non-negative, so ``max(old, pmax(where(vis,
+    x, 0)))`` equals the visibility-gated sequential max).
+    """
+    from dataclasses import replace as _replace
+    visf = vis.astype(jnp.float32)
+    d_acc = jax.lax.psum(jnp.where(vis, per_view_gnorm, 0.0), axis)
+    d_den = jax.lax.psum(visf, axis)
+    cs = jax.lax.pmax(jnp.where(vis, contrib_sum, 0.0), axis)
+    cm = jax.lax.pmax(jnp.where(vis, contrib_max, 0.0), axis)
+    rad = jax.lax.pmax(jnp.where(vis, radii.astype(jnp.float32), 0.0), axis)
+    return _replace(
+        state,
+        gradient_accum=state.gradient_accum + d_acc,
+        gradient_denom=state.gradient_denom + d_den,
+        contrib_sum=jnp.maximum(state.contrib_sum, cs),
+        contrib_max=jnp.maximum(state.contrib_max, cm),
+        contrib_denom=state.contrib_denom + d_den,
+        max_radii2d=jnp.maximum(state.max_radii2d, rad))
+
+
 def _index_camera(cameras: Camera, i) -> Camera:
     return jax.tree_util.tree_map(lambda x: x[i], cameras)
 

@@ -179,10 +179,8 @@ class ScaffoldGSTrainer(BaseTrainer):
         statistics (ScaffoldGS_model.py:243-386 cadence inputs) are all
         per-view sums, so the cross-mesh reduction is a plain psum of the
         per-view deltas."""
-        try:
-            from jax import shard_map
-        except ImportError:  # pragma: no cover - jax version dependent
-            from jax.experimental.shard_map import shard_map
+        from ..parallel.mesh import get_shard_map
+        shard_map = get_shard_map()
 
         mesh = self._mesh
         axis = "data"
@@ -333,8 +331,8 @@ class ScaffoldGSTrainer(BaseTrainer):
                        "scaling": _f32(cfgt.w_scaling_reg or 0.0),
                        "opacity": _f32(cfgt.w_opacity_reg or 0.0)}
             if dp_cameras is not None:
-                from ..parallel.mesh import stack_cameras
-                batch = stack_cameras([c.strip_static() for c in dp_cameras])
+                from ..parallel.mesh import stack_dp_cameras
+                batch = stack_dp_cameras(dp_cameras)
                 self.params, self.opt, self.state, loss, aux = \
                     self._train_step_dp(
                         settings, self.params, self.opt, self.state, batch,

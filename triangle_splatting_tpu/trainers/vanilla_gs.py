@@ -139,10 +139,7 @@ class VanillaGSTrainer(BaseTrainer):
         """Camera-batch DP step over ``self._mesh``: mean-gradient psum,
         replicated Adam, per-VIEW statistics reduced across the mesh
         (identical semantics to VanillaTSTrainer._train_step_dp)."""
-        try:
-            from jax import shard_map
-        except ImportError:  # pragma: no cover - jax version dependent
-            from jax.experimental.shard_map import shard_map
+        from ..parallel.mesh import get_shard_map, reduce_view_statistics
 
         mesh = self._mesh
         axis = "data"
@@ -168,28 +165,17 @@ class VanillaGSTrainer(BaseTrainer):
             params, opt = G.adam_update(params, opt, g_params, lrs)
 
             if self._track_stats:
-                vis = aux["visible_mask"]
-                gnorm = G.safe_norm(g_m2d * n_dev)   # per-view grad norm
-                d_acc = jax.lax.psum(jnp.where(vis, gnorm, 0.0), axis)
-                d_den = jax.lax.psum(vis.astype(jnp.float32), axis)
-                cs = jax.lax.pmax(jnp.where(vis, aux["contrib_sum"], 0.0), axis)
-                cm = jax.lax.pmax(jnp.where(vis, aux["contrib_max"], 0.0), axis)
-                rad = jax.lax.pmax(
-                    jnp.where(vis, aux["radii"].astype(jnp.float32), 0.0), axis)
-                state = replace(
-                    state,
-                    gradient_accum=state.gradient_accum + d_acc,
-                    gradient_denom=state.gradient_denom + d_den,
-                    contrib_sum=jnp.maximum(state.contrib_sum, cs),
-                    contrib_max=jnp.maximum(state.contrib_max, cm),
-                    contrib_denom=state.contrib_denom + d_den,
-                    max_radii2d=jnp.maximum(state.max_radii2d, rad))
+                state = reduce_view_statistics(
+                    state, aux["visible_mask"],
+                    G.safe_norm(g_m2d * n_dev),   # per-view grad norm
+                    aux["contrib_sum"], aux["contrib_max"], aux["radii"],
+                    axis)
 
             slim = dict(overflow=jax.lax.pmax(
                 aux["overflow"].astype(jnp.int32), axis) > 0)
             return params, opt, state, loss, slim
 
-        smapped = shard_map(
+        smapped = get_shard_map()(
             per_device, mesh=mesh,
             in_specs=(repl, repl, repl, shard, repl, repl, repl),
             out_specs=(repl, repl, repl, repl, repl),
@@ -289,8 +275,8 @@ class VanillaGSTrainer(BaseTrainer):
             weights = {"l1": _f32(1.0 - (cfgt.w_ssim or 0.0)),
                        "ssim": _f32(cfgt.w_ssim or 0.0)}
             if dp_cameras is not None:
-                from ..parallel.mesh import stack_cameras
-                batch = stack_cameras([c.strip_static() for c in dp_cameras])
+                from ..parallel.mesh import stack_dp_cameras
+                batch = stack_dp_cameras(dp_cameras)
                 self.params, self.opt, self.state, loss, aux = \
                     self._train_step_dp(
                         settings, self.params, self.opt, self.state, batch,

@@ -264,10 +264,7 @@ class VanillaTSTrainer(BaseTrainer):
         mesh, contribution/radius maxima are ``pmax``-ed — identical to
         running those N cameras through N sequential single-device steps.
         """
-        try:
-            from jax import shard_map
-        except ImportError:  # pragma: no cover - jax version dependent
-            from jax.experimental.shard_map import shard_map
+        from ..parallel.mesh import get_shard_map, reduce_view_statistics
 
         mesh = self._mesh
         axis = "data"
@@ -294,29 +291,14 @@ class VanillaTSTrainer(BaseTrainer):
             params, opt = M.adam_update(params, opt, g_params, lrs)
 
             if self._track_stats:
-                # Per-view deltas reduced across the mesh, then applied once
-                # to the replicated state (order-exact vs sequential steps).
-                vis = aux["visible_mask"] & self._stat_gate(iteration)
-                visf = vis.astype(jnp.float32)
-                # NOTE: g_c2d here is the LOCAL camera's grad (pre-psum) —
-                # the statistic is the per-view grad norm, not the norm of
-                # the batch-summed grad.
-                gnorm = jnp.linalg.norm(g_c2d * n_dev, axis=-1)
-                d_acc = jax.lax.psum(jnp.where(vis, gnorm, 0.0), axis)
-                d_den = jax.lax.psum(visf, axis)
-                cs = jax.lax.pmax(jnp.where(vis, aux["contrib_sum"], 0.0), axis)
-                cm = jax.lax.pmax(jnp.where(vis, aux["contrib_max"], 0.0), axis)
-                rad = jax.lax.pmax(
-                    jnp.where(vis, aux["radii"].astype(jnp.float32), 0.0), axis)
-                from dataclasses import replace as _replace
-                state = _replace(
-                    state,
-                    gradient_accum=state.gradient_accum + d_acc,
-                    gradient_denom=state.gradient_denom + d_den,
-                    contrib_sum=jnp.maximum(state.contrib_sum, cs),
-                    contrib_max=jnp.maximum(state.contrib_max, cm),
-                    contrib_denom=state.contrib_denom + d_den,
-                    max_radii2d=jnp.maximum(state.max_radii2d, rad))
+                # NOTE: g_c2d here is the LOCAL camera's grad (pre-psum,
+                # un-meaned by * n_dev) — the statistic is the per-view grad
+                # norm, not the norm of the batch-summed grad.
+                state = reduce_view_statistics(
+                    state, aux["visible_mask"] & self._stat_gate(iteration),
+                    jnp.linalg.norm(g_c2d * n_dev, axis=-1),
+                    aux["contrib_sum"], aux["contrib_max"], aux["radii"],
+                    axis)
 
             slim = dict(
                 overflow=jax.lax.pmax(
@@ -326,7 +308,7 @@ class VanillaTSTrainer(BaseTrainer):
                 vertex_loss=jax.lax.psum(aux["vertex_loss"], axis) / n_dev)
             return params, opt, state, loss, slim
 
-        smapped = shard_map(
+        smapped = get_shard_map()(
             per_device, mesh=mesh,
             in_specs=(repl, repl, repl, shard, repl, repl, repl, repl, repl),
             out_specs=(repl, repl, repl, repl, repl),
@@ -639,8 +621,8 @@ class VanillaTSTrainer(BaseTrainer):
                     pts, 3, jnp.repeat(self.state.alive, 3))
 
             if dp_cameras is not None:
-                from ..parallel.mesh import stack_cameras
-                batch = stack_cameras([c.strip_static() for c in dp_cameras])
+                from ..parallel.mesh import stack_dp_cameras
+                batch = stack_dp_cameras(dp_cameras)
                 self.params, self.opt, self.state, loss, aux = \
                     self._train_step_dp(
                         settings, self.params, self.opt, self.state, batch,
