@@ -302,3 +302,21 @@ class TestHybridDPMP:
             if first is None:
                 first = float(loss)
         assert float(loss) < first
+
+
+class TestStackDPCameras:
+    def test_mixed_resolution_rejected(self):
+        from triangle_splatting_tpu.parallel.mesh import stack_dp_cameras
+        from triangle_splatting_tpu.utils.testing import make_camera
+        cams = [make_camera(32, 32, with_image=True),
+                make_camera(64, 32, with_image=True)]
+        with pytest.raises(ValueError, match="same-resolution|resolution"):
+            stack_dp_cameras(cams)
+
+    def test_same_resolution_stacks(self):
+        from triangle_splatting_tpu.parallel.mesh import stack_dp_cameras
+        from triangle_splatting_tpu.utils.testing import make_camera
+        cams = [make_camera(32, 32, with_image=True) for _ in range(3)]
+        batch = stack_dp_cameras(cams)
+        assert batch.gt_image.shape == (3, 3, 32, 32)
+        assert batch.world_view.shape == (3, 4, 4)
