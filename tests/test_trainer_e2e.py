@@ -197,3 +197,46 @@ class TestGSTrainerE2E:
         t3.load_ckpt(tmp_path / "out/ckpt/50.ckpt")
         psnr2 = t3._evaluate(2)
         assert abs(psnr2 - psnr1) < 1e-3
+
+
+class TestResume:
+    def test_resume_from_checkpoint(self, synthetic_dataset, tmp_path):
+        """trainer.start_checkpoint resumes mid-run: Adam moments and alive
+        mask restored, iteration numbering continues, training keeps
+        improving (reference VanillaTS_trainer.py:197-205)."""
+        from triangle_splatting_tpu.trainers.vanilla_ts import VanillaTSTrainer
+        cfg = make_config(synthetic_dataset, tmp_path / "out", iters=30)
+        cfg.trainer.checkpoint_iterations = [15, 30]
+        cfg.trainer.save_iterations = [30]
+        trainer = VanillaTSTrainer(cfg, impl="oracle", log_file=False)
+        trainer.train()
+        psnr_full = trainer._evaluate(30)
+
+        cfg2 = make_config(synthetic_dataset, tmp_path / "out", iters=30)
+        cfg2.trainer.checkpoint_iterations = [15, 30]
+        cfg2.trainer.save_iterations = [30]
+        cfg2.trainer.start_checkpoint = 15
+        t2 = VanillaTSTrainer(cfg2, impl="oracle", log_file=False)
+        t2.train()                       # runs iterations 16..30 only
+        psnr_resumed = t2._evaluate(31)
+        # moments restored -> resumed run lands in the same quality range
+        assert np.isfinite(psnr_resumed)
+        assert psnr_resumed > psnr_full - 2.0, (psnr_full, psnr_resumed)
+        assert int(t2.state.alive.sum()) > 0
+
+    def test_resume_from_pointcloud(self, synthetic_dataset, tmp_path):
+        """trainer.start_pointcloud reloads a saved PLY (fresh moments) and
+        continues training from its iteration number."""
+        from triangle_splatting_tpu.trainers.vanilla_ts import VanillaTSTrainer
+        cfg = make_config(synthetic_dataset, tmp_path / "out", iters=20)
+        cfg.trainer.save_iterations = [10, 20]
+        trainer = VanillaTSTrainer(cfg, impl="oracle", log_file=False)
+        trainer.train()
+
+        cfg2 = make_config(synthetic_dataset, tmp_path / "out", iters=20)
+        cfg2.trainer.save_iterations = [10, 20]
+        cfg2.trainer.start_pointcloud = 10
+        t2 = VanillaTSTrainer(cfg2, impl="oracle", log_file=False)
+        t2.train()
+        assert np.isfinite(t2._evaluate(21))
+        assert int(t2.state.alive.sum()) == int(trainer.state.alive.sum())
