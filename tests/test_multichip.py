@@ -34,11 +34,15 @@ class TestMultichip:
         trainer._init_model()
         v0 = np.asarray(trainer.params.vertex).copy()
         trainer.train()
-        psnr = trainer._evaluate(12)
+        psnr = trainer._evaluate(12)        # device-parallel eval path
         assert np.isfinite(psnr)
         assert np.abs(np.asarray(trainer.params.vertex) - v0).max() > 0
         # per-view statistics accumulated across the mesh (2 views/step)
         assert float(trainer.state.gradient_denom.sum()) > 0
+        # sharded eval scores == sequential single-device eval scores
+        trainer._mesh = None
+        psnr_seq = trainer._evaluate(13)
+        assert abs(psnr - psnr_seq) < 1e-3, (psnr, psnr_seq)
 
     def test_gs_trainer_dp_e2e(self, tmp_path):
         """VanillaGSTrainer with trainer.data_parallel=2 trains on the mesh."""

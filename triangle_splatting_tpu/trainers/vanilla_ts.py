@@ -328,6 +328,27 @@ class VanillaTSTrainer(BaseTrainer):
         ssim_val = L.ssim(jnp.clip(img, 0, 1), gt)
         return img, psnr, ssim_val
 
+    @functools.partial(jax.jit, static_argnums=(0, 1, 6))
+    def _eval_step_dp(self, settings, params, state, cameras, background,
+                      eval_mask: bool):
+        """Render/score one test view per mesh device (forward-only DP):
+        the test set evaluates in ceil(n_views / n_devices) passes."""
+        from ..parallel.mesh import get_shard_map
+        repl = jax.sharding.PartitionSpec()
+        shard = jax.sharding.PartitionSpec("data")
+
+        def per_device(params, state, cameras, background):
+            camera = jax.tree_util.tree_map(lambda x: x[0], cameras)
+            img, psnr, ssim_val = self._eval_step.__wrapped__(
+                self, settings, params, state, camera, background, eval_mask)
+            return img[None], psnr[None], ssim_val[None]
+
+        smapped = get_shard_map()(
+            per_device, mesh=self._mesh,
+            in_specs=(repl, repl, shard, repl),
+            out_specs=(shard, shard, shard), check_vma=False)
+        return smapped(params, state, cameras, background)
+
     # ------------------------------------------------------------------
     # loop
     # ------------------------------------------------------------------
@@ -720,17 +741,42 @@ class VanillaTSTrainer(BaseTrainer):
             compute_lpips = bool(cfgt.eval_lpips)
 
         psnrs, ssims, lpips_vals = [], [], []
-        for i, camera in enumerate(self.dataset.getTestDataset()):
-            settings = self._settings_for(camera)
-            img, psnr, ssim_val = self._eval_step(
-                settings, self.params, self.state, camera.strip_static(),
-                background, eval_mask)
+        test_cams = list(self.dataset.getTestDataset())
+        n_img = self.config.trainer.eval_save_img_count or 3
+
+        def score(i, camera, img, psnr, ssim_val):
             psnrs.append(float(psnr))
             ssims.append(float(ssim_val))
             if compute_lpips:
-                lpips_vals.append(self._lpips(np.asarray(img), np.asarray(camera.gt_image)))
-            if i < (self.config.trainer.eval_save_img_count or 3):
+                lpips_vals.append(self._lpips(np.asarray(img),
+                                              np.asarray(camera.gt_image)))
+            if i < n_img:
                 self.logger.add_image(f"Pred {i}", np.asarray(img), iteration)
+
+        dp_ok = (self._mesh is not None and len(test_cams) > 1 and
+                 len({(c.image_width, c.image_height) for c in test_cams}) == 1)
+        if dp_ok:
+            # forward-only DP: one view per device, padded final chunk
+            from ..parallel.mesh import stack_cameras
+            n = self._mesh.shape["data"]
+            settings = self._settings_for(test_cams[0])
+            for c0 in range(0, len(test_cams), n):
+                chunk = test_cams[c0:c0 + n]
+                real = len(chunk)
+                chunk = chunk + [chunk[-1]] * (n - real)
+                imgs, ps, ss = self._eval_step_dp(
+                    settings, self.params, self.state,
+                    stack_cameras([c.strip_static() for c in chunk]),
+                    background, eval_mask)
+                for j in range(real):
+                    score(c0 + j, chunk[j], imgs[j], ps[j], ss[j])
+        else:
+            for i, camera in enumerate(test_cams):
+                settings = self._settings_for(camera)
+                img, psnr, ssim_val = self._eval_step(
+                    settings, self.params, self.state, camera.strip_static(),
+                    background, eval_mask)
+                score(i, camera, img, psnr, ssim_val)
 
         msg = (f"[ITER {iteration}] Eval PSNR: {np.mean(psnrs):.3f}, "
                f"SSIM: {np.mean(ssims):.3f}")
