@@ -59,8 +59,11 @@ class TestMultichip:
         trainer._init_model()
         x0 = np.asarray(trainer.params.xyz).copy()
         trainer.train()
-        assert np.isfinite(trainer._evaluate(10))
+        psnr_dp = trainer._evaluate(10)      # device-parallel eval path
+        assert np.isfinite(psnr_dp)
         assert np.abs(np.asarray(trainer.params.xyz) - x0).max() > 0
+        trainer._mesh = None
+        assert abs(psnr_dp - trainer._evaluate(11)) < 1e-3
 
     def test_scaffold_trainer_dp_e2e(self, tmp_path):
         """ScaffoldGSTrainer with trainer.data_parallel=2: anchors + MLPs
@@ -77,9 +80,12 @@ class TestMultichip:
         trainer._init_model()
         f0 = np.asarray(trainer.params.anchor_feat).copy()
         trainer.train()
-        assert np.isfinite(trainer._evaluate(10))
+        psnr_dp = trainer._evaluate(10)      # device-parallel eval path
+        assert np.isfinite(psnr_dp)
         assert np.abs(np.asarray(trainer.params.anchor_feat) - f0).max() > 0
         assert float(trainer.state.anchor_denom.sum()) > 0
+        trainer._mesh = None
+        assert abs(psnr_dp - trainer._evaluate(11)) < 1e-3
 
     def test_trainer_dp_step_matches_mean_gradient(self, tmp_path):
         """One _train_step_dp over 2 cameras == Adam on the mean of the two

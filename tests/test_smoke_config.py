@@ -48,3 +48,55 @@ class TestSmokeConfig:
         cfg2 = make_smoke_config("/d", "/o", 200, model="scaffold",
                                  densify=False)
         assert cfg2.model.anchor_update is None
+
+
+class TestShippedConfigs:
+    def test_reference_yaml_key_parity(self):
+        """Every key tree in the reference's shipped YAMLs exists in the
+        same-named YAML here (the config surface must stay byte-compatible,
+        SURVEY.md §7); our only additions are the documented TPU knobs."""
+        import pathlib
+        import yaml
+
+        allowed_extra = {"model.pairs_per_triangle",
+                         "trainer.data_parallel", "trainer.ckpt_format",
+                         "trainer.profile_start_iter",
+                         "trainer.profile_end_iter"}
+
+        def keys(d, p=""):
+            out = set()
+            if isinstance(d, dict):
+                for k, v in d.items():
+                    out.add(p + k)
+                    out |= keys(v, p + k + ".")
+            return out
+
+        ref_dir = pathlib.Path("/root/reference/config")
+        if not ref_dir.exists():
+            import pytest
+            pytest.skip("reference tree unavailable")
+        ours_dir = pathlib.Path(__file__).resolve().parents[1] / "config"
+        checked = 0
+        for ref in sorted(ref_dir.glob("*.yaml")):
+            mine = ours_dir / ref.name
+            assert mine.exists(), f"missing shipped config {ref.name}"
+            r = keys(yaml.safe_load(ref.read_text()))
+            o = keys(yaml.safe_load(mine.read_text()))
+            assert r - o == set(), (ref.name, sorted(r - o))
+            assert (o - r) <= allowed_extra, (ref.name, sorted(o - r))
+            checked += 1
+        assert checked >= 5
+
+    def test_shipped_yamls_parse_and_dispatch(self):
+        """All shipped YAMLs load through Config and name a known trainer."""
+        import pathlib
+        from triangle_splatting_tpu.utils.config import loadConfig
+        from triangle_splatting_tpu.trainers import TRAINER_TYPES
+
+        ours_dir = pathlib.Path(__file__).resolve().parents[1] / "config"
+        for f in sorted(ours_dir.glob("*.yaml")):
+            cfg = loadConfig(f)
+            assert cfg.dataset is not None and cfg.model is not None \
+                and cfg.trainer is not None, f.name
+            ttype = cfg.trainer.type or "VanillaTS"
+            assert ttype in TRAINER_TYPES, (f.name, ttype)

@@ -63,6 +63,29 @@ def stack_dp_cameras(cameras: list[Camera]) -> Camera:
     return stack_cameras([c.strip_static() for c in cameras])
 
 
+def dp_eval_scores(mesh, eval_step_dp, settings, params, state, cameras,
+                   background, *extra, axis: str = "data"):
+    """Drive a sharded forward-only eval step over a test-view list.
+
+    Yields ``(index, camera, img, psnr, ssim)`` per real view; views are
+    grouped one-per-device with the final chunk padded by repetition (the
+    padded scores are dropped). ``eval_step_dp(settings, params, state,
+    stacked_cameras, background, *extra)`` must return per-device-stacked
+    ``(imgs, psnrs, ssims)``.
+    """
+    n = mesh.shape[axis]
+    for c0 in range(0, len(cameras), n):
+        chunk = cameras[c0:c0 + n]
+        real = len(chunk)
+        chunk = chunk + [chunk[-1]] * (n - real)
+        imgs, ps, ss = eval_step_dp(
+            settings, params, state,
+            stack_cameras([c.strip_static() for c in chunk]),
+            background, *extra)
+        for j in range(real):
+            yield c0 + j, chunk[j], imgs[j], ps[j], ss[j]
+
+
 def reduce_view_statistics(state, vis, per_view_gnorm, contrib_sum,
                            contrib_max, radii, axis):
     """Apply one camera-batch's densification-statistic deltas to the

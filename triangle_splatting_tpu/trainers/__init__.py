@@ -1,5 +1,7 @@
 """Trainers (reference diff_recon/__init__.py exports)."""
 
+TRAINER_TYPES = ("VanillaTS", "VanillaGS", "ScaffoldGS")
+
 
 def build_trainer(config, **kwargs):
     """Dispatch on ``config.trainer.type`` (VanillaTS | VanillaGS |

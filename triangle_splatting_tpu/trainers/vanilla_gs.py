@@ -191,6 +191,25 @@ class VanillaGSTrainer(BaseTrainer):
         return img, L.psnr(img, camera.gt_image), L.ssim(jnp.clip(img, 0, 1),
                                                          camera.gt_image)
 
+    @functools.partial(jax.jit, static_argnums=(0, 1))
+    def _eval_step_dp(self, settings, params, state, cameras, background):
+        """One test view per mesh device (forward-only DP)."""
+        from ..parallel.mesh import get_shard_map
+        repl = jax.sharding.PartitionSpec()
+        shard = jax.sharding.PartitionSpec("data")
+
+        def per_device(params, state, cameras, background):
+            camera = jax.tree_util.tree_map(lambda x: x[0], cameras)
+            img, psnr, ssim_val = self._eval_step.__wrapped__(
+                self, settings, params, state, camera, background)
+            return img[None], psnr[None], ssim_val[None]
+
+        smapped = get_shard_map()(
+            per_device, mesh=self._mesh,
+            in_specs=(repl, repl, shard, repl),
+            out_specs=(shard, shard, shard), check_vma=False)
+        return smapped(params, state, cameras, background)
+
     def _init_model(self):
         if self.params is not None:
             return 0
@@ -314,7 +333,20 @@ class VanillaGSTrainer(BaseTrainer):
         bg = jnp.asarray(get_color_tensor(cfgt.eval_background or "black",
                                           self._rng))
         psnrs, ssims = [], []
-        for camera in self.dataset.getTestDataset():
+        test_cams = list(self.dataset.getTestDataset())
+        dp_ok = (self._mesh is not None and len(test_cams) > 1 and
+                 len({(c.image_width, c.image_height)
+                      for c in test_cams}) == 1)
+        if dp_ok:
+            from ..parallel.mesh import dp_eval_scores
+            for _, _, _, p, s in dp_eval_scores(
+                    self._mesh, self._eval_step_dp,
+                    self._settings_for(test_cams[0]), self.params,
+                    self.state, test_cams, bg):
+                psnrs.append(float(p))
+                ssims.append(float(s))
+            test_cams = []
+        for camera in test_cams:
             settings = self._settings_for(camera)
             img, p, s = self._eval_step(settings, self.params, self.state,
                                         camera.strip_static(), bg)

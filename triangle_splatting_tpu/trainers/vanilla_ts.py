@@ -756,20 +756,12 @@ class VanillaTSTrainer(BaseTrainer):
         dp_ok = (self._mesh is not None and len(test_cams) > 1 and
                  len({(c.image_width, c.image_height) for c in test_cams}) == 1)
         if dp_ok:
-            # forward-only DP: one view per device, padded final chunk
-            from ..parallel.mesh import stack_cameras
-            n = self._mesh.shape["data"]
-            settings = self._settings_for(test_cams[0])
-            for c0 in range(0, len(test_cams), n):
-                chunk = test_cams[c0:c0 + n]
-                real = len(chunk)
-                chunk = chunk + [chunk[-1]] * (n - real)
-                imgs, ps, ss = self._eval_step_dp(
-                    settings, self.params, self.state,
-                    stack_cameras([c.strip_static() for c in chunk]),
-                    background, eval_mask)
-                for j in range(real):
-                    score(c0 + j, chunk[j], imgs[j], ps[j], ss[j])
+            from ..parallel.mesh import dp_eval_scores
+            for i, cam, img, psnr, ssim_val in dp_eval_scores(
+                    self._mesh, self._eval_step_dp,
+                    self._settings_for(test_cams[0]), self.params,
+                    self.state, test_cams, background, eval_mask):
+                score(i, cam, img, psnr, ssim_val)
         else:
             for i, camera in enumerate(test_cams):
                 settings = self._settings_for(camera)
