@@ -15,11 +15,15 @@ from .ops.projection import RasterSettings  # noqa: F401
 
 # The reference package surface (src/diff_recon/__init__.py:1-20), exported
 # lazily so importing the package stays light (no jax compile, no TensorBoard
-# import) until a symbol is actually used. The reference's nn.Module model
-# classes have no class equivalents here by design — the models are
-# functional modules (models.triangle / models.gaussian_model /
-# models.scaffold); the nearest symbols are re-exported below.
+# import) until a symbol is actually used. The compute cores are functional
+# modules (models.triangle / models.gaussian_model / models.scaffold); the
+# reference's model CLASSES are thin wrappers over them (models/facade.py).
 _LAZY = {
+    # model classes (diff_recon/__init__.py:10-12) — facade over the
+    # functional cores; trainers bypass them and call the cores directly
+    "VanillaTSModel": ("models.facade", "VanillaTSModel"),
+    "VanillaGSModel": ("models.facade", "VanillaGSModel"),
+    "ScaffoldGSModel": ("models.facade", "ScaffoldGSModel"),
     # trainers (diff_recon/__init__.py:1-3)
     "VanillaTSTrainer": ("trainers.vanilla_ts", "VanillaTSTrainer"),
     "VanillaGSTrainer": ("trainers.vanilla_gs", "VanillaGSTrainer"),
