@@ -67,6 +67,9 @@ class TestGSParity:
                                    np.asarray(o["render"]), atol=1e-3)
         np.testing.assert_allclose(np.asarray(p["final_T"]),
                                    np.asarray(o["final_T"]), atol=1e-3)
+        # last_contributor semantics (custom-gaussian forward.cu:588-589)
+        np.testing.assert_array_equal(np.asarray(p["n_contrib"]),
+                                      np.asarray(o["n_contrib"]))
 
     def test_backward(self):
         scene = make_gs_scene(seed=3)
@@ -180,3 +183,58 @@ class TestDeadSlotGradients:
         for name in ("xyz", "scaling", "rotation", "opacity", "f_dc",
                      "f_rest"):
             assert np.isfinite(np.asarray(getattr(g, name))).all(), name
+
+
+class TestGSEarlyTermination:
+    """Kill-entry semantics deep in the pair list: the entry that would push
+    T below 1e-4 is NOT composited and ends the pixel (custom-gaussian
+    forward.cu:568-573). The kernel must carry the done flag across its
+    128-pair slabs — without it, small-alpha entries in LATER slabs
+    resurrect the pixel and n_contrib/backward misindex."""
+
+    def _overdraw_scene(self, n=360, kill_at=250):
+        rng = np.random.default_rng(7)
+        xyz = np.stack([rng.uniform(-0.05, 0.05, n),
+                        rng.uniform(-0.05, 0.05, n),
+                        np.linspace(3.0, 6.0, n)], -1).astype(np.float32)
+        scale = np.full((n, 3), 0.4, np.float32)   # covers the center tiles
+        q = np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1))
+        opac = np.full(n, 0.03, np.float32)        # slow decay: ~5e-4 at 250
+        opac[kill_at] = 0.97                       # the killer
+        rgb = rng.uniform(0.05, 0.95, (n, 3)).astype(np.float32)
+        return dict(xyz=xyz, scale=scale, rot=q, opacity=opac, rgb=rgb)
+
+    def test_cross_slab_kill_parity(self):
+        scene = self._overdraw_scene()
+        o = render(scene, "oracle")
+        p = render(scene, "pallas")
+        nc = np.asarray(o["n_contrib"])
+        # the kill really fires at the center, past the first 128-pair slab
+        # (peripheral pixels see weak falloffs and legitimately never kill)
+        assert 128 < nc[32, 32] < len(scene["opacity"]), nc[32, 32]
+        np.testing.assert_array_equal(np.asarray(p["n_contrib"]), nc)
+        np.testing.assert_allclose(np.asarray(p["final_T"]),
+                                   np.asarray(o["final_T"]), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(p["render"]),
+                                   np.asarray(o["render"]), atol=1e-3)
+
+    def test_cross_slab_kill_backward_parity(self):
+        scene = self._overdraw_scene()
+        target = jnp.asarray(
+            np.random.default_rng(5).uniform(size=(3, 64, 64)), jnp.float32)
+
+        def loss(xyz, scale, q, opac, rgb, impl):
+            out = rasterize_gaussian(xyz, scale, q, opac, None, CAM, SETTINGS,
+                                     gamma=1.0, background=jnp.ones(3),
+                                     bg_depth=10.0, colors=rgb, impl=impl,
+                                     interpret=True)
+            return jnp.abs(out["render"] - target).mean()
+
+        args = tuple(jnp.asarray(scene[k]) for k in
+                     ("xyz", "scale", "rot", "opacity", "rgb"))
+        go = jax.grad(loss, argnums=(0, 3, 4))(*args, "oracle")
+        gp = jax.grad(loss, argnums=(0, 3, 4))(*args, "pallas")
+        for name, a, b in zip(("xyz", "opac", "rgb"), go, gp):
+            ref = max(float(jnp.abs(a).max()), 1e-12)
+            assert float(jnp.abs(a - b).max()) / ref < 5e-3, name
+            assert np.isfinite(np.asarray(b)).all(), name

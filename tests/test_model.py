@@ -176,6 +176,21 @@ class TestADC:
             params, opt, state, np.float32(0.1), 1, np.float32(1e9))
         assert bool(overflow)
 
+    def test_densify_overflow_never_loses_geometry(self):
+        """SPLITS whose replacement halves were dropped (capacity full) must
+        keep their originals alive — overflow may defer growth, never delete
+        triangles."""
+        params, state, opt = make_model(16, capacity=256)
+        n0 = 256
+        state = replace(state, alive=jnp.ones(n0, bool),
+                        gradient_accum=jnp.full(n0, 100.0),
+                        gradient_denom=jnp.full(n0, 10.0))
+        # threshold 0 -> every triangle wants to SPLIT, zero dead slots
+        params, opt, state, n, overflow = M.densify(
+            params, opt, state, np.float32(0.1), 1, np.float32(0.0))
+        assert bool(overflow)
+        assert int(state.alive.sum()) == n0       # nothing vanished
+
     def test_contribution_pruning(self):
         params, state, opt = make_model(32)
         C = params.capacity

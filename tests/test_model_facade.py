@@ -53,6 +53,25 @@ class TestVanillaTSModelFacade:
 
 
 class TestVanillaGSModelFacade:
+    def test_f_rest_ply_roundtrip_channel_major(self, tmp_path):
+        """Nonzero SH rest bands survive a save/load roundtrip bit-exact
+        (3DGS stores f_rest channel-major; the writer must transpose)."""
+        from dataclasses import replace
+        cfg = dict_to_config({"max_sh_degree": 2})
+        m = ts.VanillaGSModel(cfg, impl="oracle")
+        m.create_from_pcd(_pcd(30), init_opacity=0.5)
+        rng = np.random.default_rng(5)
+        m.params = replace(
+            m.params, f_rest=jnp.asarray(
+                rng.standard_normal(m.params.f_rest.shape).astype(np.float32)))
+        m.savePLY(tmp_path / "g.ply")
+        m2 = ts.VanillaGSModel(cfg, impl="oracle").loadPLY(tmp_path / "g.ply")
+        alive = np.asarray(m.state.alive)
+        np.testing.assert_allclose(
+            np.asarray(m.params.f_rest)[alive],
+            np.asarray(m2.params.f_rest)[np.asarray(m2.state.alive)],
+            rtol=1e-6)
+
     def test_create_forward_ply_roundtrip(self, tmp_path):
         cfg = dict_to_config({"max_sh_degree": 1})
         m = ts.VanillaGSModel(cfg, impl="oracle")

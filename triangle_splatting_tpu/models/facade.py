@@ -36,7 +36,12 @@ def _mk_settings(camera, max_sh_degree, rasterizer_type="2D",
 
 
 class VanillaTSModel:
-    """Triangle model facade (reference models/VanillaTS_model.py:21-917)."""
+    """Triangle model facade (reference models/VanillaTS_model.py:21-917).
+
+    ``config.max_sh_degree`` defaults to 0 like the reference
+    (VanillaTS_model.py:25); pass the checkpoint's trained degree when
+    loading a PLY/GLB or higher SH bands are dropped.
+    """
 
     def __init__(self, config: Optional[Config] = None, impl: str = "pallas",
                  interpret: bool = False):
@@ -175,11 +180,17 @@ class VanillaGSModel:
         from .raw_gaussian import RawGaussian
         G = self._G
         alive = np.asarray(self.state.alive)
+        feats = np.asarray(G.get_features(self.params))[alive]   # (n, K, 3)
+        # 3DGS PLY layout: f_dc RGB then f_rest CHANNEL-major — matches
+        # loadPLY's transpose (raw_gaussian.py:79).
+        shs = np.concatenate(
+            [feats[:, 0, :],
+             feats[:, 1:, :].transpose(0, 2, 1).reshape(len(feats), -1)],
+            axis=1)
         g = RawGaussian(
             xyz=np.asarray(self.params.xyz)[alive],
             opacity=np.asarray(self.params.opacity)[alive],
-            shs=np.asarray(G.get_features(self.params))[alive].reshape(
-                int(alive.sum()), -1),
+            shs=shs,
             scale=np.asarray(self.params.scaling)[alive],
             rotation=np.asarray(self.params.rotation)[alive])
         Path(path).parent.mkdir(parents=True, exist_ok=True)

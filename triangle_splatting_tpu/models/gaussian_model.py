@@ -262,16 +262,17 @@ def densify(params: GaussianParams, opt, state: GaussianState, rng_key,
     off2 = jnp.einsum("pij,pj->pi", R, eps2)
     new_scaling = jnp.log(jnp.maximum(scaling / (0.8 * split_num), 1e-7))
 
-    def cand(xyz_off, use_split_scale):
+    def cand(xyz_off):
+        # clones copy the original verbatim; split halves move to a sampled
+        # center and take the shrunken scale
         return dict(
             xyz=jnp.where(split_mask[:, None], params.xyz + xyz_off, params.xyz),
-            scaling=jnp.where(split_mask[:, None] & use_split_scale,
-                              new_scaling, params.scaling),
+            scaling=jnp.where(split_mask[:, None], new_scaling, params.scaling),
             rotation=params.rotation, opacity=params.opacity,
             f_dc=params.f_dc, f_rest=params.f_rest)
 
-    c1 = cand(off1, True)     # clone copy or split half 1
-    c2 = cand(off2, True)     # split half 2 (invalid for clones)
+    c1 = cand(off1)           # clone copy or split half 1
+    c2 = cand(off2)           # split half 2 (invalid for clones)
     new_valid = jnp.stack([clone_mask | split_mask, split_mask], 1).reshape(2 * C)
 
     new_order = jnp.argsort(~new_valid, stable=True)
@@ -301,8 +302,11 @@ def densify(params: GaussianParams, opt, state: GaussianState, rng_key,
         state,
         gradient_accum=jnp.where(clear, 0, state.gradient_accum),
         gradient_denom=jnp.where(clear, 0, state.gradient_denom))
-    # split originals removed; split halves use the shrunken scale
-    params = replace(params, scaling=jnp.where(
-        split_mask[:, None], new_scaling, params.scaling))
-    params, opt, state = prune(params, opt, state, split_mask)
+    # Split originals removed — but ONLY when both replacement halves were
+    # actually placed; on capacity overflow the dropped tail must not delete
+    # geometry (the host reallocates and the next round re-splits).
+    inv = jnp.argsort(new_order)                       # candidate -> rank
+    placed_cand = (inv < n_place) & new_valid          # (2C,)
+    both_placed = placed_cand.reshape(C, 2).all(axis=1)
+    params, opt, state = prune(params, opt, state, split_mask & both_placed)
     return params, opt, state, grow.sum(), overflow

@@ -110,15 +110,15 @@ class RawTriangle:
         faces = np.arange(len(self) * 3).reshape(-1, 3)
         vertices = self.vertex.reshape(-1, 3)
         if save_back:
+            # back faces reverse the winding but reuse the front vertices
+            # (and so the same per-vertex colors)
             faces = np.concatenate([faces, faces[:, ::-1]], axis=0)
-            rgba = np.concatenate([rgba, rgba], axis=0)
-        vertex_colors = np.repeat(rgba[:len(self)], 3, axis=0)
+        vertex_colors = np.repeat(rgba, 3, axis=0)
         write_glb(path, vertices, faces, vertex_colors)
 
     def loadGLB(self, path):
         vertices, faces, colors = read_glb(path)
         # Back faces (if present) mirror the front set; keep the first half.
-        n_faces = faces.shape[0]
         n_front = vertices.shape[0] // 3
         faces = faces[:n_front]
         tri = vertices[faces.reshape(-1)].reshape(-1, 3, 3)

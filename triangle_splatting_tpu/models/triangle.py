@@ -256,7 +256,12 @@ def adam_update(params: TriangleParams, opt: AdamState,
         if p is None:
             new_p[name], new_m[name], new_v[name] = None, None, None
             continue
-        lr_name = name if name in lrs else "affine"
+        if name in lrs:
+            lr_name = name
+        elif name.startswith("color_affine"):
+            lr_name = "affine"      # both affine tensors share one schedule
+        else:
+            raise KeyError(f"no learning rate for parameter group {name!r}")
         g = getattr(grads, name)
         m = getattr(opt.m, name)
         v = getattr(opt.v, name)
@@ -554,8 +559,14 @@ def densify(params: TriangleParams, opt: AdamState, state: TriangleState,
         contrib_denom=jnp.where(placed, 0, state.contrib_denom),
     )
 
-    # Split originals are removed (VanillaTS_model.py:299).
-    params, opt, state = prune(params, opt, state, split_mask)
+    # Split originals are removed (VanillaTS_model.py:299) — but ONLY when
+    # both replacement halves were actually placed; on capacity overflow the
+    # dropped tail must not delete geometry (the host grows capacity and the
+    # next round re-splits).
+    inv = jnp.argsort(new_order)                       # candidate -> rank
+    placed_cand = (inv < n_place) & new_valid          # (2C,)
+    both_placed = placed_cand.reshape(C, 2).all(axis=1)
+    params, opt, state = prune(params, opt, state, split_mask & both_placed)
     return params, opt, state, grow.sum(), overflow
 
 

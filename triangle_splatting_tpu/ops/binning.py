@@ -109,7 +109,10 @@ def bin_triangles(prep: Preprocessed, settings: RasterSettings,
     offsets = jnp.cumsum(counts) - counts                    # exclusive
     total = offsets[-1] + counts[-1] if P > 0 else jnp.int32(0)
     num_pairs = jnp.minimum(total, max_pairs)
-    overflow = total > max_pairs
+    # total < 0: the int32 cumsum wrapped (> 2^31 demanded pairs, a
+    # degenerate scene) — that IS an overflow; without the check the flag
+    # stays False and the frame silently renders empty.
+    overflow = (total > max_pairs) | (total < 0)
 
     # Per-triangle side table packed into ONE matrix -> one pair gather.
     depth_q = quantize_depth(prep.depth, prep.valid, dbits)

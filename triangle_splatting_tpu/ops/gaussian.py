@@ -192,8 +192,11 @@ def blend_oracle_gs(prep: PreprocessedGS, opacity: jnp.ndarray, gamma,
                     settings: RasterSettings):
     """Dense oracle with the GAUSSIAN early-termination semantics: the entry
     that would push T below 1e-4 is skipped and ends the pixel
-    (forward.cu:497-503), and skipped-alpha entries do not bump
-    last_contributor."""
+    (forward.cu:568-573), and ``n_contrib`` is the reference's
+    ``last_contributor`` — the 1-based tile-list index of the LAST
+    COMPOSITED entry (forward.cu:588-589: set only after blending, so the
+    kill entry and trailing skipped-alpha entries are excluded while
+    interleaved skips before the last composite are counted)."""
     from .oracle import OracleOutputs
     W, H = settings.image_width, settings.image_height
     tile_w, tile_h = settings.tile_w, settings.tile_h
@@ -211,12 +214,13 @@ def blend_oracle_gs(prep: PreprocessedGS, opacity: jnp.ndarray, gamma,
     gamma = jnp.asarray(gamma, jnp.float32)
 
     def body(carry, g):
-        (T, done, n_contrib, accum_c, accum_d) = carry
+        (T, done, cnt, n_contrib, accum_c, accum_d) = carry
         (mean, conic, depth, color, valid, rmin, rmax, opac) = g
         color = jnp.where(valid, color, 0.0)
 
         member = ((tx >= rmin[0]) & (tx < rmax[0]) &
                   (ty >= rmin[1]) & (ty < rmax[1]) & valid)
+        cnt = cnt + member.astype(jnp.int32)       # contributor++ per member
         proc = member & ~done
 
         dx = mean[0] - px
@@ -238,17 +242,18 @@ def blend_oracle_gs(prep: PreprocessedGS, opacity: jnp.ndarray, gamma,
         accum_d = accum_d + jnp.where(eff, depth * contrib, 0.0)
         T_new = jnp.where(eff, test_T, T)
         done_new = done | kill
-        n_contrib = n_contrib + proc.astype(jnp.int32)
-        return ((T_new, done_new, n_contrib, accum_c, accum_d),
+        n_contrib = jnp.where(eff, cnt, n_contrib)  # last COMPOSITED index
+        return ((T_new, done_new, cnt, n_contrib, accum_c, accum_d),
                 (contrib.sum(), contrib.max()))
 
     gs = (prep.mean2d[order], prep.conic[order], prep.depth[order],
           prep.rgb[order], prep.valid[order], prep.rect_min[order],
           prep.rect_max[order], opacity[order])
     init = (jnp.ones((H, W), jnp.float32), jnp.zeros((H, W), bool),
-            jnp.zeros((H, W), jnp.int32), jnp.zeros((3, H, W), jnp.float32),
+            jnp.zeros((H, W), jnp.int32), jnp.zeros((H, W), jnp.int32),
+            jnp.zeros((3, H, W), jnp.float32),
             jnp.zeros((H, W), jnp.float32))
-    (T, done, n_contrib, accum_c, accum_d), (c_sums, c_maxs) = \
+    (T, done, _, n_contrib, accum_c, accum_d), (c_sums, c_maxs) = \
         jax.lax.scan(body, init, gs)
 
     color = accum_c + T[None] * background[:, None, None]

@@ -28,7 +28,13 @@ Early-termination parity: the sequential CUDA loop freezes T once it
 crosses 1e-4. Vectorized, the same semantics fall out of masking with
 ``alive = (T_exclusive > 1e-4)`` — transmittance is monotone, so ``alive``
 is exactly the prefix of entries the reference processes, and
-``n_contrib = sum(alive)`` matches the reference's ``last_contributor``.
+``n_contrib = sum(alive)`` matches the reference's ``last_contributor``
+(bumped unconditionally per iterated entry, 2D forward.cu:296-297). The GS
+variant differs twice: the entry that would push T below the threshold is
+itself NOT composited and ends the pixel (a per-pixel done flag carried in
+accum row 8 — T freezes >= 1e-4 so the T test can't see it), and
+``last_contributor`` is the index of the last COMPOSITED entry
+(custom-gaussian forward.cu:568-573, 588-589).
 
 Field packing (built in ops/rasterize.py, differentiable), field-major
 (16, MP).
@@ -103,19 +109,7 @@ def _fld(buf_t, k):
     return buf_t[:, k:k + 1]
 
 
-def _pxy1(px, py):
-    """(3, NPIX) stack [1; px; py] (kept for the backward R-matrix build).
-
-    Note: evaluating the affine barycentric forms on the MXU
-    ((S,3)@(3,NPIX) at HIGHEST precision) was MEASURED SLOWER than the VPU
-    broadcasts (48.4 vs 41.7 ms fwd+bwd @800^2/100k on v5e) — the
-    contraction dim pads to a full 128 MXU tile and HIGHEST costs 3 passes,
-    so each tiny matmul prices like a full T-scan pass. Keep affine eval
-    on the VPU."""
-    return jnp.concatenate([jnp.ones_like(px), px, py], axis=0)
-
-
-def _alpha_terms(buf_t, px, py, gamma, in_range, variant="2D", pxy1=None):
+def _alpha_terms(buf_t, px, py, gamma, in_range, variant="2D"):
     """Shared recompute: barycentrics -> masked alpha. Shapes (S, NPIX).
 
     Returns (..., invD): the reciprocal plane denominator for "3D", None
@@ -242,7 +236,7 @@ def _fwd_kernel(
     # scratch
     buf,                  # VMEM (2, 16, SLAB) — double-buffered input slabs
     stage,                # VMEM (2, 2, SLAB) — pair contrib staging slots
-    accum,                # VMEM (8, NPIX): rgb, depth, normal, T
+    accum,                # VMEM (9, NPIX): rgb, depth, normal, T, GS done
     ncnt,                 # VMEM (1, NPIX) int32
     in_sem,               # DMA (2,)
     out_sem,              # DMA (2,)
@@ -264,10 +258,9 @@ def _fwd_kernel(
     cW, cH = (1.0 - width) / 2.0, (1.0 - height) / 2.0
 
     px, py = _pixel_coords(tx, ty, th, tw)
-    pxy1 = _pxy1(px, py)
     inside = (px < width) & (py < height)
 
-    accum[:, :] = jnp.zeros((8, npix), jnp.float32)
+    accum[:, :] = jnp.zeros((9, npix), jnp.float32)
     accum[7:8, :] = jnp.where(inside, 1.0, 0.0)
     ncnt[:, :] = jnp.zeros((1, npix), jnp.int32)
 
@@ -311,7 +304,7 @@ def _fwd_kernel(
             invD = None
         else:
             a1, a2, a3, eccs, expp, alpha_un, alpha, ok, invD = _alpha_terms(
-                buf_t, px, py, gamma, in_range, variant, pxy1=pxy1)
+                buf_t, px, py, gamma, in_range, variant)
 
         one_m = 1.0 - alpha
         # Exclusive prefix transmittance: shift-by-one then product scan
@@ -324,8 +317,17 @@ def _fwd_kernel(
         T_excl = T_carry * cp_excl
         if variant == "GS":
             # Gaussian semantics: the entry that would push T below the
-            # threshold is itself NOT composited (forward.cu:497-503).
-            alive = (T_excl * one_m) >= T_EPS
+            # threshold is itself NOT composited and the pixel is DONE
+            # (forward.cu:497-503) — T freezes >= T_EPS, so doneness must be
+            # carried explicitly across slabs (accum row 8) or later slabs'
+            # small-alpha entries would resurrect the pixel.
+            done = accum[8:9, :]
+            not_done = done == 0.0
+            test_T = T_excl * one_m
+            alive = (test_T >= T_EPS) & not_done
+            killed = not_done & (T_excl >= T_EPS) & (test_T < T_EPS)
+            accum[8:9, :] = jnp.where(
+                jnp.any(killed, axis=0, keepdims=True), 1.0, done)
         else:
             alive = T_excl > T_EPS
         contrib = jnp.where(alive, alpha * T_excl, 0.0)         # (S, NPIX)
@@ -348,8 +350,20 @@ def _fwd_kernel(
                 accum[4:5, :] += sx * N[1:2, :]
                 accum[5:6, :] += sy * N[2:3, :]
                 accum[6:7, :] += N[0:1, :] - cW * N[1:2, :] - cH * N[2:3, :]
-        ncnt[:, :] += jnp.sum((alive & in_range).astype(jnp.int32), axis=0,
-                              keepdims=True)
+        if variant == "GS":
+            # GS last_contributor = 1-based tile-list index of the last
+            # COMPOSITED entry (custom-gaussian forward.cu:588-589) — the
+            # kill entry and trailing skipped-alpha entries don't count.
+            idx1 = e_iota + s * SLAB + 1                        # (S, 1)
+            comp = alive & ok
+            ncnt[:, :] = jnp.maximum(
+                ncnt[:, :],
+                jnp.max(jnp.where(comp, idx1, 0), axis=0, keepdims=True))
+        else:
+            # 2D/3D bump last_contributor unconditionally per iterated entry
+            # (2D forward.cu:296-297) — the count of the alive prefix.
+            ncnt[:, :] += jnp.sum((alive & in_range).astype(jnp.int32),
+                                  axis=0, keepdims=True)
 
         T_incl = T_excl * one_m
         slab_min = jnp.min(jnp.where(alive, T_incl, 2.0), axis=0, keepdims=True)
@@ -364,13 +378,17 @@ def _fwd_kernel(
         stage[slot, :, :] = jnp.concatenate([c_sum, c_max], axis=1).T  # (2, S)
         out_dma(slot, s).start()
 
+        if variant == "GS":
+            # Early-exit signal: done pixels contribute 0; a live pixel's
+            # frozen-above-threshold T keeps the loop running.
+            return s + 1, jnp.max(jnp.where(accum[8:9, :] > 0.0, 0.0, new_T))
         return s + 1, jnp.max(new_T)
 
     def cond(carry):
         s, t_max = carry
         if variant == "GS":
-            # GS freezes T at >= T_EPS, so the T test cannot detect "done".
-            return s < nslabs
+            # all pixels done (or outside) -> t_max == 0
+            return (s < nslabs) & (t_max > 0.0)
         return (s < nslabs) & (t_max > T_EPS)
 
     s_final, _ = jax.lax.while_loop(cond, body, (0, jnp.float32(1.0)))
@@ -467,7 +485,8 @@ def blend_forward(pairs: jax.Array, tile_starts: jax.Array,
         scratch_shapes=[
             pltpu.VMEM((2, NUM_FIELDS, SLAB), jnp.float32),
             pltpu.VMEM((2, 2, SLAB), jnp.float32),
-            pltpu.VMEM((8, npix), jnp.float32),
+            # rows 0-6 accumulators, 7 transmittance, 8 GS done flag
+            pltpu.VMEM((9, npix), jnp.float32),
             pltpu.VMEM((1, npix), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -540,7 +559,6 @@ def _bwd_kernel(
     cW, cH = (1.0 - width) / 2.0, (1.0 - height) / 2.0
 
     px, py = _pixel_coords(tx, ty, th, tw)
-    pxy1 = _pxy1(px, py)
 
     g_col = g_color_ref[:, 0, :, :].reshape(3, npix)
     g_dep = g_depth_ref[0, :, :].reshape(1, npix)
@@ -631,8 +649,8 @@ def _bwd_kernel(
                 invD = None
             else:
                 (a1, a2, a3, eccs, expp, alpha_un, alpha, ok,
-                 invD) = _alpha_terms(buf_t, px, py, gamma, in_range, variant,
-                                      pxy1=pxy1)
+                 invD) = _alpha_terms(buf_t, px, py, gamma, in_range,
+                                      variant)
             processed = e < n_contrib                          # (S, NPIX)
             alpha = jnp.where(processed, alpha, 0.0)
             ok = ok & processed

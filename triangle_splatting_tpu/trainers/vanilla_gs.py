@@ -360,10 +360,17 @@ class VanillaGSTrainer(BaseTrainer):
     # -- IO (3DGS-compatible schema) ---------------------------------------
     def savePLY(self, path):
         alive = np.asarray(self.state.alive)
+        feats = np.asarray(G.get_features(self.params))[alive]   # (n, K, 3)
+        # 3DGS PLY layout: f_dc RGB then f_rest CHANNEL-major (all R coeffs,
+        # all G, all B) — matches loadPLY's transpose (raw_gaussian.py:79).
+        shs = np.concatenate(
+            [feats[:, 0, :],
+             feats[:, 1:, :].transpose(0, 2, 1).reshape(len(feats), -1)],
+            axis=1)
         g = RawGaussian(
             xyz=np.asarray(self.params.xyz)[alive],
             opacity=np.asarray(self.params.opacity)[alive],
-            shs=np.asarray(G.get_features(self.params))[alive].reshape(alive.sum(), -1),
+            shs=shs,
             scale=np.asarray(self.params.scaling)[alive],
             rotation=np.asarray(self.params.rotation)[alive])
         self.logger.info(f"Saving {len(g)} gaussians to {path}")
