@@ -238,3 +238,60 @@ class TestGSEarlyTermination:
             ref = max(float(jnp.abs(a).max()), 1e-12)
             assert float(jnp.abs(a - b).max()) / ref < 5e-3, name
             assert np.isfinite(np.asarray(b)).all(), name
+
+
+class TestGSADCStages:
+    """The four ADC stages the reference GS model also runs
+    (VanillaGS_model.py:358-464, model_update:504-513)."""
+
+    def _model(self, n=32):
+        scene = make_gs_scene(n)
+        cfg = G.GSModelConfig(max_sh_degree=0)
+        params, state = G.create_from_points(scene["xyz"], scene["rgb"], cfg,
+                                             init_opacity=0.5,
+                                             capacity_factor=2.0)
+        return params, state, G.GSAdamState.create(params)
+
+    def test_opacity_clipping(self):
+        params, state, opt = self._model()
+        params, opt, state, n = G.opacity_clipping(params, opt, state, 0.4)
+        assert int(n) == 32                      # all at sigmoid 0.5 > 0.4
+        alive = np.asarray(state.alive)
+        np.testing.assert_allclose(
+            np.asarray(params.opacity)[alive], 10.0)
+
+    def test_scale_pruning_by_radii_and_scale(self):
+        params, state, opt = self._model()
+        state = replace(state, max_radii2d=jnp.where(
+            jnp.arange(params.capacity) < 4, 100.0, 0.0))
+        params, opt, state, n = G.scale_pruning(
+            params, opt, state, np.float32(50.0), np.float32(1e9))
+        assert int(n) == 4
+        assert int(state.alive.sum()) == 28
+
+    def test_scale_clipping(self):
+        params, state, opt = self._model()
+        big = jnp.where(jnp.arange(params.capacity)[:, None] < 5,
+                        jnp.log(2.0), params.scaling)
+        params = replace(params, scaling=big)
+        expected = int((np.asarray(params.scaling).max(1) > np.log(1.0))
+                       [np.asarray(state.alive)].sum())
+        params, opt, state, n = G.scale_clipping(params, opt, state, 1.0)
+        assert int(n) == expected and expected >= 5
+        assert float(np.asarray(G.get_scaling(params))[
+            np.asarray(state.alive)].max()) <= 1.0 + 1e-5
+
+    def test_contribution_pruning(self):
+        params, state, opt = self._model()
+        C = params.capacity
+        contrib = jnp.where(state.alive,
+                            jnp.arange(C, dtype=jnp.float32) + 1.0, 0.0)
+        state = replace(state, contrib_sum=contrib, contrib_max=contrib,
+                        contrib_denom=jnp.where(state.alive, 5.0, 0.0))
+        params, opt, state, n = G.contribution_pruning(
+            params, opt, state, min_view_count=np.int32(1),
+            target_point_num=np.int32(16), prune_ratio=np.float32(1.0),
+            max_prune_ratio=np.float32(1.0), contrib_max_ratio=np.float32(0.5))
+        assert int(n) > 0
+        alive = np.asarray(state.alive)
+        assert not alive[0] and not alive[1]     # lowest contributors pruned

@@ -154,3 +154,26 @@ class TestFileHandler:
         assert h.remoteDone("run1") and not h.remoteFail("run1")
         h.remoteSetDoneFlag("run2", done_flag=False)
         assert h.remoteFail("run2")
+
+    def test_lock_release_and_stale_break(self, tmp_path):
+        remote = tmp_path / "remote"
+        h = MirrorHandler(str(remote), str(tmp_path / "c1"))
+        assert h._can_upload
+        # released lock frees upload rights for the next process
+        h.release_upload_lock()
+        assert not h._can_upload
+        h2 = MirrorHandler(str(remote), str(tmp_path / "c2"))
+        assert h2._can_upload
+
+        # a lock whose timestamp is ancient is broken by a newcomer
+        import time
+        (remote / "upload.lock").write_text(f"99999 {time.time() - 7200}\n")
+        h2._can_upload = False                    # drop without removing
+        h3 = MirrorHandler(str(remote), str(tmp_path / "c3"))
+        assert h3._can_upload                     # stale lock was broken
+
+        # a FRESH foreign lock is respected
+        h3.release_upload_lock()
+        (remote / "upload.lock").write_text(f"99999 {time.time()}\n")
+        h4 = MirrorHandler(str(remote), str(tmp_path / "c4"))
+        assert not h4._can_upload

@@ -100,7 +100,10 @@ class ColmapDatasetFactory(BaseDatasetFactory):
         self.root = root
 
         train_infos, test_infos = self._getCameraInfos()
-        if cfg.hold_test_set is False:
+        if not cfg.hold_test_set:
+            # falsy INCLUDING a missing key merges, like the reference
+            # (Colmap_dataset.py:131-133) — omitting the key means "train on
+            # every view"
             train_infos = train_infos + test_infos
             self._logger.info("hold_test_set not set; merged test into train")
         self._logger.info(f"Train set: {len(train_infos)}, test set: {len(test_infos)}")

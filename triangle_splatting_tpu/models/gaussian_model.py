@@ -238,6 +238,84 @@ def opacity_reset(params, opt, state, reset_value):
     return params, opt, state
 
 
+def opacity_clipping(params, opt, state, threshold):
+    """Push confident opacities to logit 10 (VanillaGS_model.py:358-370)."""
+    mask = (get_opacity(params)[:, 0] > threshold) & state.alive
+    params = replace(params,
+                     opacity=jnp.where(mask[:, None], 10.0, params.opacity))
+    opt = zero_moments(opt, mask, groups=("opacity",))
+    return params, opt, state, mask.sum()
+
+
+def scale_pruning(params, opt, state, radii_threshold, scale_threshold):
+    """Prune by screen radius or max world scale (VanillaGS_model.py:371-388)."""
+    mask = ((state.max_radii2d > radii_threshold)
+            | (get_scaling(params).max(axis=1) > scale_threshold)) & state.alive
+    return prune(params, opt, state, mask) + (mask.sum(),)
+
+
+def scale_clipping(params, opt, state, scale_max):
+    """Clamp per-axis log-scales to log(scale_max)
+    (VanillaGS_model.py:390-402)."""
+    log_max = jnp.log(jnp.asarray(scale_max, jnp.float32))
+    clip = (params.scaling > log_max) & state.alive[:, None]
+    params = replace(params,
+                     scaling=jnp.where(clip, log_max, params.scaling))
+    opt = zero_moments(opt, clip.any(axis=1), groups=("scaling",))
+    return params, opt, state, clip.any(axis=1).sum()
+
+
+def contribution_pruning(params, opt, state, *, min_view_count,
+                         target_point_num, prune_ratio, max_prune_ratio,
+                         contrib_max_ratio, scene_bbox=None,
+                         inter_point_dist=None, sparsity_retain_ratio=0.0):
+    """Prune lowest-contribution gaussians toward a target count
+    (VanillaGS_model.py:404-464) — the same fixed-shape argsort ranking as
+    models/triangle.py's contribution_pruning, over the gaussian state."""
+    from .model_utils import get_inside_mask
+    C = params.capacity
+    alive = state.alive
+    inside = get_inside_mask(params.xyz, scene_bbox) & alive
+    valid_count = inside.sum()
+    total = alive.sum()
+    select = (state.contrib_denom >= min_view_count) & alive
+    select_count = select.sum()
+
+    diff = jnp.maximum(0.0, valid_count - target_point_num * 0.99) \
+        * total / jnp.maximum(valid_count, 1)
+    prune_count = jnp.minimum(diff * prune_ratio,
+                              select_count * max_prune_ratio)
+    n_by_max = (prune_count * contrib_max_ratio).astype(jnp.int32)
+    n_by_sum = (prune_count * (1 - contrib_max_ratio)).astype(jnp.int32)
+
+    def rank_mask(values, n_prune):
+        score = jnp.where(select, values, jnp.inf)
+        order = jnp.argsort(score, stable=True)
+        rank = jnp.zeros(C, jnp.int32).at[order].set(
+            jnp.arange(C, dtype=jnp.int32))
+        return (rank < n_prune) & select
+
+    prune_mask = rank_mask(state.contrib_max, n_by_max) | \
+        rank_mask(state.contrib_sum, n_by_sum)
+
+    if sparsity_retain_ratio > 0 and inter_point_dist is not None:
+        n_pruned = prune_mask.sum()
+        retain = (sparsity_retain_ratio * n_pruned).astype(jnp.int32)
+        score = jnp.where(prune_mask, -inter_point_dist, jnp.inf)
+        order = jnp.argsort(score, stable=True)
+        rank = jnp.zeros(C, jnp.int32).at[order].set(
+            jnp.arange(C, dtype=jnp.int32))
+        prune_mask = prune_mask & ~(rank < retain)
+
+    state = replace(
+        state,
+        contrib_sum=jnp.where(select, 0, state.contrib_sum),
+        contrib_max=jnp.where(select, 0, state.contrib_max),
+        contrib_denom=jnp.where(select, 0, state.contrib_denom),
+    )
+    return prune(params, opt, state, prune_mask) + (prune_mask.sum(),)
+
+
 def densify(params: GaussianParams, opt, state: GaussianState, rng_key,
             grad_threshold, min_view_count, split_scale_threshold,
             split_num: int = 2):

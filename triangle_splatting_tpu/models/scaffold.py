@@ -324,13 +324,16 @@ def create_from_points(points: np.ndarray, cfg: ScaffoldConfig,
 # -- training statistics (ScaffoldGS_model.py:217-241) ------------------------
 
 def update_statistics(state: ScaffoldState, mean2d_grad, pkg: dict,
-                      n_offsets: int) -> ScaffoldState:
+                      n_offsets: int, gate=True) -> ScaffoldState:
     """Accumulate per-anchor max opacity and per-offset viewspace-gradient
-    norms for visible anchors/gaussians."""
+    norms for visible anchors/gaussians. ``gate`` is the anchor_update
+    iteration window (ScaffoldGS_model.py:217-219: statistics collect only
+    inside start_iter < iteration <= end_iter)."""
     C = state.alive.shape[0]
-    vis_anchor = pkg["anchor_visible_mask"]
+    gate = jnp.asarray(gate)
+    vis_anchor = pkg["anchor_visible_mask"] & gate
     max_op = jnp.max(pkg["gaussian_opacity"], axis=1)
-    g_vis = pkg["gaussian_visible_mask"]                    # (C, k)
+    g_vis = pkg["gaussian_visible_mask"] & gate             # (C, k)
     gnorm = safe_norm(mean2d_grad[:, :2]).reshape(C, n_offsets)
     return replace(
         state,

@@ -150,10 +150,18 @@ class ScaffoldGSTrainer(BaseTrainer):
             n_gaussians=sel.sum(), overflow=pkg["overflow"])
         return loss, aux
 
+    def _stat_gate(self, iteration):
+        """anchor_update statistics window (ScaffoldGS_model.py:217-219)."""
+        u = self._u
+        if u is None:
+            return jnp.asarray(True)
+        return ((iteration > (u.start_iter or 0))
+                & (iteration <= (u.end_iter or 0)))
+
     @functools.partial(jax.jit, static_argnums=(0, 1),
                        donate_argnums=(2, 3, 4))
     def _train_step(self, settings, params, opt, state, camera, background,
-                    lrs, weights):
+                    lrs, weights, iteration):
         N = params.capacity * self.model_cfg.n_offsets
 
         def loss_fn(p, m2d):
@@ -167,13 +175,14 @@ class ScaffoldGSTrainer(BaseTrainer):
         params, opt = S.adam_update(params, opt, g_params, lrs)
         if self._track_stats:
             state = S.update_statistics(state, g_m2d, aux["pkg"],
-                                        self.model_cfg.n_offsets)
+                                        self.model_cfg.n_offsets,
+                                        gate=self._stat_gate(iteration))
         return params, opt, state, loss, aux
 
     @functools.partial(jax.jit, static_argnums=(0, 1),
                        donate_argnums=(2, 3, 4))
     def _train_step_dp(self, settings, params, opt, state, cameras,
-                       background, lrs, weights):
+                       background, lrs, weights, iteration):
         """Camera-batch DP step over ``self._mesh`` (same semantics as
         VanillaTSTrainer._train_step_dp). Scaffold's anchor-update
         statistics (ScaffoldGS_model.py:243-386 cadence inputs) are all
@@ -190,7 +199,8 @@ class ScaffoldGSTrainer(BaseTrainer):
         k = self.model_cfg.n_offsets
         N = params.capacity * k
 
-        def per_device(params, opt, state, cameras, background, lrs, weights):
+        def per_device(params, opt, state, cameras, background, lrs, weights,
+                       iteration):
             camera = jax.tree_util.tree_map(lambda x: x[0], cameras)
 
             def loss_fn(p, m2d):
@@ -208,8 +218,9 @@ class ScaffoldGSTrainer(BaseTrainer):
 
             if self._track_stats:
                 pkg = aux["pkg"]
-                vis_anchor = pkg["anchor_visible_mask"]
-                g_vis = pkg["gaussian_visible_mask"]
+                gate = self._stat_gate(iteration)
+                vis_anchor = pkg["anchor_visible_mask"] & gate
+                g_vis = pkg["gaussian_visible_mask"] & gate
                 max_op = jnp.max(pkg["gaussian_opacity"], axis=1)
                 gnorm = S.safe_norm(
                     (g_m2d * n_dev)[:, :2]).reshape(params.capacity, k)
@@ -233,10 +244,11 @@ class ScaffoldGSTrainer(BaseTrainer):
 
         smapped = shard_map(
             per_device, mesh=mesh,
-            in_specs=(repl, repl, repl, shard, repl, repl, repl),
+            in_specs=(repl, repl, repl, shard, repl, repl, repl, repl),
             out_specs=(repl, repl, repl, repl, repl),
             check_vma=False)
-        return smapped(params, opt, state, cameras, background, lrs, weights)
+        return smapped(params, opt, state, cameras, background, lrs, weights,
+                       jnp.int32(iteration))
 
     @functools.partial(jax.jit, static_argnums=(0, 1))
     def _eval_step(self, settings, params, state, camera, background):
@@ -355,12 +367,14 @@ class ScaffoldGSTrainer(BaseTrainer):
                 self.params, self.opt, self.state, loss, aux = \
                     self._train_step_dp(
                         settings, self.params, self.opt, self.state, batch,
-                        bg, self._lrs(iteration), weights)
+                        bg, self._lrs(iteration), weights,
+                        np.int32(iteration))
             else:
                 self.params, self.opt, self.state, loss, aux = \
                     self._train_step(
                         settings, self.params, self.opt, self.state, camera,
-                        bg, self._lrs(iteration), weights)
+                        bg, self._lrs(iteration), weights,
+                        np.int32(iteration))
             self._maintain_constraints(iteration)
             if cfgt.eval_interval_iter and \
                     iteration % cfgt.eval_interval_iter == 0:

@@ -48,6 +48,10 @@ class VanillaGSTrainer(BaseTrainer):
         self.params = None
         self.state = None
         self.opt = None
+        self.scene_bbox = None
+        info = self.dataset.getSceneInfo()
+        if info is not None:
+            self.scene_bbox = info.get("bbox_xyz")
         self._rng = np.random.default_rng(self.seed)
         self._prng = jax.random.PRNGKey(self.seed)
         self._sh_degree_host = 0
@@ -55,6 +59,11 @@ class VanillaGSTrainer(BaseTrainer):
         self._j_densify = jax.jit(G.densify, static_argnums=(5, 7))
         self._j_opacity_pruning = jax.jit(G.opacity_pruning)
         self._j_opacity_reset = jax.jit(G.opacity_reset)
+        self._j_opacity_clipping = jax.jit(G.opacity_clipping)
+        self._j_scale_pruning = jax.jit(G.scale_pruning)
+        self._j_scale_clipping = jax.jit(G.scale_clipping)
+        self._j_contribution_pruning = jax.jit(
+            G.contribution_pruning, static_argnames=("sparsity_retain_ratio",))
 
     def _setup_schedulers(self):
         oc = self.config.model.optimizer
@@ -78,6 +87,17 @@ class VanillaGSTrainer(BaseTrainer):
                 v_init=op.opacity_threshold_init,
                 v_final=op.opacity_threshold_final,
                 max_steps=op.end_iter - op.start_iter)
+        if mu is not None and mu.opacity_clipping is not None:
+            oc = mu.opacity_clipping
+            self.opacity_clipping_scheduler = exponential_scheduler(
+                v_init=oc.opacity_threshold_init,
+                v_final=oc.opacity_threshold_final,
+                max_steps=oc.end_iter - oc.start_iter)
+        if mu is not None and mu.scale_clipping is not None:
+            sc = mu.scale_clipping
+            self.scale_max_scheduler = exponential_scheduler(
+                v_init=sc.scale_max_init, v_final=sc.scale_max_final,
+                max_steps=sc.end_iter - sc.start_iter)
 
     def _lrs(self, iteration: int) -> dict:
         lrs = {n: _f32(fn(iteration)) for n, fn in self.lr_schedulers.items()}
@@ -113,9 +133,17 @@ class VanillaGSTrainer(BaseTrainer):
                    overflow=pkg["overflow"])
         return loss, aux
 
+    def _stat_gate(self, iteration):
+        """Statistic accumulation window (VanillaGS_model._training_statistic
+        gates on args.start_iter < iteration <= args.end_iter)."""
+        st = self._mu.statistic if self._mu is not None else None
+        if st is None:
+            return jnp.asarray(True)
+        return (iteration > st.start_iter) & (iteration <= st.end_iter)
+
     @functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2, 3, 4))
     def _train_step(self, settings, params, opt, state, camera, background,
-                    lrs, weights):
+                    lrs, weights, iteration):
         C = params.capacity
 
         def loss_fn(p, m2d):
@@ -128,14 +156,15 @@ class VanillaGSTrainer(BaseTrainer):
         g_params, g_m2d = grads
         params, opt = G.adam_update(params, opt, g_params, lrs)
         if self._track_stats:
-            state = G.update_statistics(state, g_m2d, aux["radii"],
-                                        aux["contrib_sum"], aux["contrib_max"],
-                                        aux["visible_mask"])
+            state = G.update_statistics(
+                state, g_m2d, aux["radii"], aux["contrib_sum"],
+                aux["contrib_max"],
+                aux["visible_mask"] & self._stat_gate(iteration))
         return params, opt, state, loss, aux
 
     @functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2, 3, 4))
     def _train_step_dp(self, settings, params, opt, state, cameras,
-                       background, lrs, weights):
+                       background, lrs, weights, iteration):
         """Camera-batch DP step over ``self._mesh``: mean-gradient psum,
         replicated Adam, per-VIEW statistics reduced across the mesh
         (identical semantics to VanillaTSTrainer._train_step_dp)."""
@@ -148,7 +177,8 @@ class VanillaGSTrainer(BaseTrainer):
             jax.sharding.PartitionSpec(axis)
         C = params.capacity
 
-        def per_device(params, opt, state, cameras, background, lrs, weights):
+        def per_device(params, opt, state, cameras, background, lrs, weights,
+                       iteration):
             camera = jax.tree_util.tree_map(lambda x: x[0], cameras)
 
             def loss_fn(p, m2d):
@@ -166,7 +196,8 @@ class VanillaGSTrainer(BaseTrainer):
 
             if self._track_stats:
                 state = reduce_view_statistics(
-                    state, aux["visible_mask"],
+                    state,
+                    aux["visible_mask"] & self._stat_gate(iteration),
                     G.safe_norm(g_m2d * n_dev),   # per-view grad norm
                     aux["contrib_sum"], aux["contrib_max"], aux["radii"],
                     axis)
@@ -177,10 +208,11 @@ class VanillaGSTrainer(BaseTrainer):
 
         smapped = get_shard_map()(
             per_device, mesh=mesh,
-            in_specs=(repl, repl, repl, shard, repl, repl, repl),
+            in_specs=(repl, repl, repl, shard, repl, repl, repl, repl),
             out_specs=(repl, repl, repl, repl, repl),
             check_vma=False)
-        return smapped(params, opt, state, cameras, background, lrs, weights)
+        return smapped(params, opt, state, cameras, background, lrs, weights,
+                       jnp.int32(iteration))
 
     @functools.partial(jax.jit, static_argnums=(0, 1))
     def _eval_step(self, settings, params, state, camera, background):
@@ -248,6 +280,64 @@ class VanillaGSTrainer(BaseTrainer):
             self.params, self.opt, self.state, n = self._j_opacity_pruning(
                 self.params, self.opt, self.state, _f32(thr))
             self.logger.info(f"[ITER {iteration}] opacity-pruned {int(n)}")
+        oc = mu.opacity_clipping
+        if oc is not None and oc.start_iter < iteration <= (oc.hold_iter or oc.end_iter) \
+                and iteration % oc.interval_iter == 0:
+            thr = self.opacity_clipping_scheduler(iteration - oc.start_iter)
+            self.params, self.opt, self.state, n = self._j_opacity_clipping(
+                self.params, self.opt, self.state, _f32(thr))
+            self.logger.info(f"[ITER {iteration}] opacity-clipped {int(n)}")
+        sp = mu.scale_pruning
+        if sp is not None and sp.start_iter < iteration <= sp.end_iter \
+                and iteration % sp.interval_iter == 0:
+            self.params, self.opt, self.state, n = self._j_scale_pruning(
+                self.params, self.opt, self.state,
+                _f32(sp.radii_threshold), _f32(sp.scale_threshold))
+            self.logger.info(f"[ITER {iteration}] scale-pruned {int(n)}")
+        sc = mu.scale_clipping
+        if sc is not None and sc.start_iter < iteration <= (sc.hold_iter or sc.end_iter) \
+                and iteration % sc.interval_iter == 0:
+            mx = self.scale_max_scheduler(iteration - sc.start_iter)
+            self.params, self.opt, self.state, n = self._j_scale_clipping(
+                self.params, self.opt, self.state, _f32(mx))
+            self.logger.info(f"[ITER {iteration}] scale-clipped {int(n)}")
+        cp = mu.contribution_pruning
+        if cp is not None and cp.start_iter < iteration <= cp.end_iter \
+                and iteration % cp.interval_iter == 0:
+            target = cp.target_point_num
+            ratio = cp.contrib_max_ratio if cp.contrib_max_ratio is not None else 0.1
+            prune_ratio = cp.prune_ratio if cp.prune_ratio is not None else 0.15
+            retain = cp.sparsity_retain_ratio or 0.0
+            if cp.downsample_iteration:
+                for it, pnum in zip(cp.downsample_iteration,
+                                    cp.downsample_point_num):
+                    if iteration > it:
+                        target = pnum
+                        ratio *= 0.5
+                        new_retain = retain + (0.8 - retain) * 0.5
+                        prune_ratio *= (1 - retain) / (1 - new_retain)
+                        retain = new_retain
+            ipd = None
+            if retain > 0:
+                from ..models.model_utils import inter_point_distance_np
+                xyz = np.asarray(self.params.xyz)
+                alive = np.asarray(self.state.alive)
+                full = np.zeros(len(xyz), np.float32)
+                if alive.any():
+                    full[alive] = inter_point_distance_np(xyz[alive])
+                ipd = jnp.asarray(full)
+            self.params, self.opt, self.state, n = self._j_contribution_pruning(
+                self.params, self.opt, self.state,
+                min_view_count=np.int32(cp.min_view_count
+                                        if cp.min_view_count is not None else 1),
+                target_point_num=np.int32(target),
+                prune_ratio=_f32(prune_ratio),
+                max_prune_ratio=_f32(cp.max_prune_ratio
+                                     if cp.max_prune_ratio is not None else 0.2),
+                contrib_max_ratio=_f32(ratio),
+                scene_bbox=getattr(self, "scene_bbox", None),
+                inter_point_dist=ipd, sparsity_retain_ratio=retain)
+            self.logger.info(f"[ITER {iteration}] contribution-pruned {int(n)}")
         orr = mu.opacity_reset
         if orr is not None and orr.start_iter < iteration <= orr.end_iter \
                 and iteration % orr.interval_iter == 0:
@@ -299,12 +389,14 @@ class VanillaGSTrainer(BaseTrainer):
                 self.params, self.opt, self.state, loss, aux = \
                     self._train_step_dp(
                         settings, self.params, self.opt, self.state, batch,
-                        bg, self._lrs(iteration), weights)
+                        bg, self._lrs(iteration), weights,
+                        np.int32(iteration))
             else:
                 self.params, self.opt, self.state, loss, aux = \
                     self._train_step(
                         settings, self.params, self.opt, self.state, camera,
-                        bg, self._lrs(iteration), weights)
+                        bg, self._lrs(iteration), weights,
+                        np.int32(iteration))
             if cfgt.eval_interval_iter and iteration % cfgt.eval_interval_iter == 0:
                 timer.log("evaluation")
                 self._evaluate(iteration)

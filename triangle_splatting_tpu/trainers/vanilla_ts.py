@@ -493,9 +493,17 @@ class VanillaTSTrainer(BaseTrainer):
                         retain = new_retain
             ipd = None
             if retain > 0:
+                # distances among ALIVE triangles only — dead slots hold
+                # stale/zero vertices that would corrupt the kNN ranking
+                # (reference inter_point_distance sees live points only,
+                # VanillaTS_model.py:509)
                 from ..models.model_utils import inter_point_distance_np
                 xyz = np.asarray(M.get_xyz(self.params))
-                ipd = jnp.asarray(inter_point_distance_np(xyz))
+                alive = np.asarray(self.state.alive)
+                full = np.zeros(len(xyz), np.float32)
+                if alive.any():
+                    full[alive] = inter_point_distance_np(xyz[alive])
+                ipd = jnp.asarray(full)
             self.params, self.opt, self.state, n = self._j_contribution_pruning(
                 self.params, self.opt, self.state,
                 min_view_count=np.int32(cp.min_view_count
@@ -544,6 +552,8 @@ class VanillaTSTrainer(BaseTrainer):
         self.params = jax.tree_util.tree_map(pad, self.params)
         self.opt = jax.tree_util.tree_map(pad, self.opt)
         self.state = jax.tree_util.tree_map(pad, self.state)
+        # the cached vertex-reg kNN indices are sized to the old capacity
+        self._nearest_stale = True
         self.logger.warning(f"Capacity grown {old} -> {new} (recompilation follows)")
 
     def _loss_weights(self, iteration: int) -> dict:
@@ -633,7 +643,10 @@ class VanillaTSTrainer(BaseTrainer):
             lrs = self._lrs(iteration)
 
             if self._w_vertex > 0 and iteration > (vr.start_iter or 0) and \
-                    ((iteration - 1) % (vr.interval_iter or 10) == 0 or nearest_idx is None):
+                    ((iteration - 1) % (vr.interval_iter or 10) == 0
+                     or nearest_idx is None
+                     or getattr(self, "_nearest_stale", False)):
+                self._nearest_stale = False
                 # on-device exact kNN (ops/knn.py) — no host roundtrip;
                 # restrict targets to alive triangles' vertices
                 from ..ops.knn import nearest_neighbor

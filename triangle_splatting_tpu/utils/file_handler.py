@@ -246,18 +246,52 @@ class MirrorHandler(BaseFileHandler):
                     or self.remoteFail(flag_name, target_dir))
 
     # -- upload lock ---------------------------------------------------------
+    LOCK_STALE_S = 3600.0
+
     def _acquire_upload_lock(self) -> bool:
-        """Elect one uploader per remote root via an atomic create. Stale
-        locks (dead process on this host) are broken after 1h."""
+        """Elect one uploader per remote root via an atomic create. A lock
+        whose embedded timestamp is older than ``LOCK_STALE_S`` (a dead or
+        finished process that never released) is broken and re-acquired.
+        ``release_upload_lock()`` removes the lock; it runs automatically
+        at interpreter exit for the process that holds it."""
         lock = "upload.lock"
         try:
             if self.remote.exists(lock):
-                return False
+                age = self._remote_lock_age(lock)
+                if age is not None and age < self.LOCK_STALE_S:
+                    return False
+                # stale (or unreadable-meta) lock: break it
+                try:
+                    self.remote.remove(lock)
+                except Exception:
+                    return False
             self.remote.touch(lock)
             self.remote.put(self._write_lock_meta(), lock)
+            import atexit
+            atexit.register(self.release_upload_lock)
             return True
         except Exception:
             return False
+
+    def release_upload_lock(self) -> None:
+        """Drop the remote upload lock (idempotent)."""
+        if not getattr(self, "_can_upload", False):
+            return
+        try:
+            self.remote.remove("upload.lock")
+        except Exception:
+            pass
+        self._can_upload = False
+
+    def _remote_lock_age(self, lock: str):
+        """Seconds since the lock's embedded timestamp; None if unreadable."""
+        try:
+            local = Path(self._local_root) / ".upload_lock_peek"
+            self.remote.get(lock, str(local))
+            ts = float(local.read_text().split()[1])
+            return time.time() - ts
+        except Exception:
+            return None
 
     def _write_lock_meta(self) -> str:
         meta = Path(self._local_root) / ".upload_lock_meta"
