@@ -39,6 +39,12 @@ def stack_cameras(cameras: list[Camera]) -> Camera:
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *cameras)
 
 
+# NOTE: the three trainers keep their own thin shard_map step wrappers
+# (differing loss signatures, Adam modules, and aux dicts); the pieces that
+# must never drift — the per-view statistics reduction, camera-batch
+# validation/stacking, and the eval chunking — live HERE and are shared.
+
+
 def get_shard_map():
     try:
         from jax import shard_map
