@@ -51,10 +51,19 @@ class TestMatrixCity:
         cfg = dict_to_config({
             "local_dir": str(city), "background": "white",
             "use_alpha_mask": False, "num_workers": 1,
-            "pcd_path": "pcd.ply"})
+            "pcd_path": "pcd.ply", "hold_test_set": True})
         factory = MatrixCityDatasetFactory(cfg)
         assert factory.getTrainDatasetSize() == 6
         assert factory.getTestDatasetSize() == 2
+
+        # omitting hold_test_set merges test into train, like the reference
+        # (Colmap_dataset.py:131-133)
+        cfg2 = dict_to_config({
+            "local_dir": str(city), "background": "white",
+            "use_alpha_mask": False, "num_workers": 1,
+            "pcd_path": "pcd.ply"})
+        merged = MatrixCityDatasetFactory(cfg2)
+        assert merged.getTrainDatasetSize() == 8
         cam = factory.getTrainDataset()[0]
         assert cam.image_width == 32 and cam.image_height == 32
         assert abs(float(cam.tan_fovx) - 1.0) < 1e-6
