@@ -303,3 +303,25 @@ class TestInsideMaskTraced:
             m_jit = jax.jit(get_inside_mask)(pts, bbox)
             m_eager = get_inside_mask(np.asarray(pts), bbox)
             np.testing.assert_array_equal(m_jit, m_eager)
+
+
+class TestAdamLrGroups:
+    def test_affine_groups_use_affine_lr(self):
+        """affine_weight/affine_bias share lrs['affine']; a genuinely
+        unknown group without an lr fails loudly."""
+        params, state, opt = make_model(8)
+        params = M.setup_color_affine(params, 4)
+        opt = M.AdamState.create(params)
+        g = jax.tree_util.tree_map(
+            lambda x: None if x is None else jnp.ones_like(x), params)
+        lrs = {k: np.float32(0.01) for k in
+               ("vertex", "opacity", "f_dc", "f_rest", "affine")}
+        p2, o2 = M.adam_update(params, opt, g, lrs)
+        assert np.abs(np.asarray(p2.affine_weight)
+                      - np.asarray(params.affine_weight)).max() > 0
+
+        import pytest
+        with pytest.raises(KeyError, match="affine"):
+            M.adam_update(params, opt, g, {k: np.float32(0.01) for k in
+                                           ("vertex", "opacity", "f_dc",
+                                            "f_rest")})

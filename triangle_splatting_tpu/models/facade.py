@@ -178,37 +178,25 @@ class VanillaGSModel:
     def savePLY(self, path):
         from pathlib import Path
         from .raw_gaussian import RawGaussian
+        from .raw_gaussian import pack_sh_features
         G = self._G
         alive = np.asarray(self.state.alive)
-        feats = np.asarray(G.get_features(self.params))[alive]   # (n, K, 3)
-        # 3DGS PLY layout: f_dc RGB then f_rest CHANNEL-major — matches
-        # loadPLY's transpose (raw_gaussian.py:79).
-        shs = np.concatenate(
-            [feats[:, 0, :],
-             feats[:, 1:, :].transpose(0, 2, 1).reshape(len(feats), -1)],
-            axis=1)
         g = RawGaussian(
             xyz=np.asarray(self.params.xyz)[alive],
             opacity=np.asarray(self.params.opacity)[alive],
-            shs=shs,
+            shs=pack_sh_features(np.asarray(G.get_features(self.params))[alive]),
             scale=np.asarray(self.params.scaling)[alive],
             rotation=np.asarray(self.params.rotation)[alive])
         Path(path).parent.mkdir(parents=True, exist_ok=True)
         g.savePLY(path)
 
     def loadPLY(self, path):
-        from .raw_gaussian import RawGaussian
+        from .raw_gaussian import RawGaussian, unpack_sh_features
         G = self._G
         g = RawGaussian(ply_path=str(path))
         n = len(g)
         K = (self.cfg.max_sh_degree + 1) ** 2
-        loaded = g.shs.reshape(n, -1)
-        f_dc = loaded[:, :3].reshape(n, 1, 3)
-        rest = loaded[:, 3:]
-        if rest.shape[1] == (K - 1) * 3:
-            f_rest = rest.reshape(n, 3, K - 1).transpose(0, 2, 1)
-        else:
-            f_rest = np.zeros((n, K - 1, 3), np.float32)
+        feats = unpack_sh_features(g.shs, K)
         cap = (n + 255) // 256 * 256
         pad = lambda x: np.concatenate(
             [x, np.zeros((cap - n,) + x.shape[1:], x.dtype)])
@@ -216,8 +204,8 @@ class VanillaGSModel:
             xyz=jnp.asarray(pad(g.xyz)), scaling=jnp.asarray(pad(g.scale)),
             rotation=jnp.asarray(pad(g.rotation)),
             opacity=jnp.asarray(pad(g.opacity)),
-            f_dc=jnp.asarray(pad(f_dc)),
-            f_rest=jnp.asarray(pad(np.ascontiguousarray(f_rest))))
+            f_dc=jnp.asarray(pad(feats[:, :1])),
+            f_rest=jnp.asarray(pad(np.ascontiguousarray(feats[:, 1:]))))
         self.state = replace(G.GaussianState.create(cap),
                              alive=jnp.asarray(np.arange(cap) < n))
         return self

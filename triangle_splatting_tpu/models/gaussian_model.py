@@ -270,49 +270,18 @@ def contribution_pruning(params, opt, state, *, min_view_count,
                          contrib_max_ratio, scene_bbox=None,
                          inter_point_dist=None, sparsity_retain_ratio=0.0):
     """Prune lowest-contribution gaussians toward a target count
-    (VanillaGS_model.py:404-464) — the same fixed-shape argsort ranking as
-    models/triangle.py's contribution_pruning, over the gaussian state."""
+    (VanillaGS_model.py:404-464) — the shared fixed-shape ranking core
+    (models/adc_common.py) over the gaussian state."""
+    from .adc_common import contribution_prune_mask, reset_contribution_stats
     from .model_utils import get_inside_mask
-    C = params.capacity
-    alive = state.alive
-    inside = get_inside_mask(params.xyz, scene_bbox) & alive
-    valid_count = inside.sum()
-    total = alive.sum()
-    select = (state.contrib_denom >= min_view_count) & alive
-    select_count = select.sum()
-
-    diff = jnp.maximum(0.0, valid_count - target_point_num * 0.99) \
-        * total / jnp.maximum(valid_count, 1)
-    prune_count = jnp.minimum(diff * prune_ratio,
-                              select_count * max_prune_ratio)
-    n_by_max = (prune_count * contrib_max_ratio).astype(jnp.int32)
-    n_by_sum = (prune_count * (1 - contrib_max_ratio)).astype(jnp.int32)
-
-    def rank_mask(values, n_prune):
-        score = jnp.where(select, values, jnp.inf)
-        order = jnp.argsort(score, stable=True)
-        rank = jnp.zeros(C, jnp.int32).at[order].set(
-            jnp.arange(C, dtype=jnp.int32))
-        return (rank < n_prune) & select
-
-    prune_mask = rank_mask(state.contrib_max, n_by_max) | \
-        rank_mask(state.contrib_sum, n_by_sum)
-
-    if sparsity_retain_ratio > 0 and inter_point_dist is not None:
-        n_pruned = prune_mask.sum()
-        retain = (sparsity_retain_ratio * n_pruned).astype(jnp.int32)
-        score = jnp.where(prune_mask, -inter_point_dist, jnp.inf)
-        order = jnp.argsort(score, stable=True)
-        rank = jnp.zeros(C, jnp.int32).at[order].set(
-            jnp.arange(C, dtype=jnp.int32))
-        prune_mask = prune_mask & ~(rank < retain)
-
-    state = replace(
-        state,
-        contrib_sum=jnp.where(select, 0, state.contrib_sum),
-        contrib_max=jnp.where(select, 0, state.contrib_max),
-        contrib_denom=jnp.where(select, 0, state.contrib_denom),
-    )
+    inside = get_inside_mask(params.xyz, scene_bbox) & state.alive
+    prune_mask, select = contribution_prune_mask(
+        state, inside, min_view_count=min_view_count,
+        target_point_num=target_point_num, prune_ratio=prune_ratio,
+        max_prune_ratio=max_prune_ratio, contrib_max_ratio=contrib_max_ratio,
+        inter_point_dist=inter_point_dist,
+        sparsity_retain_ratio=sparsity_retain_ratio)
+    state = reset_contribution_stats(state, select)
     return prune(params, opt, state, prune_mask) + (prune_mask.sum(),)
 
 
@@ -359,6 +328,13 @@ def densify(params: GaussianParams, opt, state: GaussianState, rng_key,
     n_dead = (~state.alive).sum()
     n_place = jnp.minimum(n_new, n_dead)
     overflow = n_new > n_dead
+    # Atomic split placement (see models/triangle.py densify): never place a
+    # split's half 1 while dropping its half 2 at the capacity boundary.
+    inv = jnp.argsort(new_order)                       # cand -> rank
+    last = new_order[jnp.clip(n_place - 1, 0, 2 * C - 1)]
+    orphan = ((n_place > 0) & (last % 2 == 0) & split_mask[last // 2]
+              & (inv[jnp.minimum(last + 1, 2 * C - 1)] >= n_place))
+    n_place = n_place - orphan.astype(n_place.dtype)
     k = jnp.arange(C)
     take = new_order[k]
     src = take // 2
@@ -383,7 +359,6 @@ def densify(params: GaussianParams, opt, state: GaussianState, rng_key,
     # Split originals removed — but ONLY when both replacement halves were
     # actually placed; on capacity overflow the dropped tail must not delete
     # geometry (the host reallocates and the next round re-splits).
-    inv = jnp.argsort(new_order)                       # candidate -> rank
     placed_cand = (inv < n_place) & new_valid          # (2C,)
     both_placed = placed_cand.reshape(C, 2).all(axis=1)
     params, opt, state = prune(params, opt, state, split_mask & both_placed)

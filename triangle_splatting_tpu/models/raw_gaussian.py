@@ -25,6 +25,33 @@ def morton_order(xyz: np.ndarray, bits: int = 21) -> np.ndarray:
     return np.argsort(code)
 
 
+def pack_sh_features(features: np.ndarray) -> np.ndarray:
+    """(n, K, 3) coefficient-major SH features -> the flat 3DGS PLY layout:
+    f_dc RGB followed by f_rest CHANNEL-major (all R coeffs, all G, all B).
+    The ONE place that encodes the layout; ``unpack_sh_features`` inverts."""
+    features = np.asarray(features, np.float32)
+    n = features.shape[0]
+    return np.concatenate(
+        [features[:, 0, :],
+         features[:, 1:, :].transpose(0, 2, 1).reshape(n, -1)], axis=1)
+
+
+def unpack_sh_features(shs: np.ndarray, K: int) -> np.ndarray:
+    """Inverse of ``pack_sh_features``: flat PLY layout -> (n, K, 3); bands
+    the file lacks are zero, extra bands are dropped."""
+    shs = np.asarray(shs, np.float32)
+    n = shs.shape[0]
+    out = np.zeros((n, K, 3), np.float32)
+    out[:, 0, :] = shs[:, :3]
+    rest = shs[:, 3:]
+    n_coef = min(rest.shape[1] // 3, K - 1)
+    if n_coef > 0:
+        file_coef = rest.shape[1] // 3
+        out[:, 1:1 + n_coef, :] = rest[:, :file_coef * 3].reshape(
+            n, 3, file_coef).transpose(0, 2, 1)[:, :n_coef]
+    return out
+
+
 class RawGaussian:
     def __init__(self, xyz=None, opacity=None, shs=None, scale=None,
                  rotation=None, normals=None, ply_path=None):

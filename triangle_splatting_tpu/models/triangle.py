@@ -258,7 +258,7 @@ def adam_update(params: TriangleParams, opt: AdamState,
             continue
         if name in lrs:
             lr_name = name
-        elif name.startswith("color_affine"):
+        elif name in ("affine_weight", "affine_bias"):
             lr_name = "affine"      # both affine tensors share one schedule
         else:
             raise KeyError(f"no learning rate for parameter group {name!r}")
@@ -527,6 +527,15 @@ def densify(params: TriangleParams, opt: AdamState, state: TriangleState,
     n_place = jnp.minimum(n_new, n_dead)
     overflow = n_new > n_dead
 
+    # Atomic split placement: if the capacity boundary would place a split's
+    # half 1 while dropping its half 2, hold half 1 back too — the original
+    # is kept on partial placement, so a lone half would duplicate geometry.
+    inv = jnp.argsort(new_order)                               # cand -> rank
+    last = new_order[jnp.clip(n_place - 1, 0, 2 * C - 1)]
+    orphan = ((n_place > 0) & (last % 2 == 0) & split_mask[last // 2]
+              & (inv[jnp.minimum(last + 1, 2 * C - 1)] >= n_place))
+    n_place = n_place - orphan.astype(n_place.dtype)
+
     k = jnp.arange(C)
     take_new = new_order[k]                     # candidate index for k-th place
     dst = jnp.where(k < n_place, dead_order[k], C)   # target slot (drop if full)
@@ -563,7 +572,6 @@ def densify(params: TriangleParams, opt: AdamState, state: TriangleState,
     # both replacement halves were actually placed; on capacity overflow the
     # dropped tail must not delete geometry (the host grows capacity and the
     # next round re-splits).
-    inv = jnp.argsort(new_order)                       # candidate -> rank
     placed_cand = (inv < n_place) & new_valid          # (2C,)
     both_placed = placed_cand.reshape(C, 2).all(axis=1)
     params, opt, state = prune(params, opt, state, split_mask & both_placed)
@@ -579,45 +587,16 @@ def contribution_pruning(params, opt, state, *, min_view_count,
     (VanillaTS_model.py:467-532). Fixed-shape ranking via argsort.
     ``inter_point_dist`` (C,), if given, retains the sparsest pruned rows.
     """
-    C = params.capacity
+    from .adc_common import contribution_prune_mask, reset_contribution_stats
     alive = state.alive
-    xyz = get_xyz(params)
-    inside = get_inside_mask(xyz, scene_bbox) & alive
+    inside = get_inside_mask(get_xyz(params), scene_bbox) & alive
     if ste_threshold is not None:
         inside = inside & (get_opacity(params)[:, 0] > ste_threshold)
-    valid_count = inside.sum()
-    total = alive.sum()
-    select = (state.contrib_denom >= min_view_count) & alive
-    select_count = select.sum()
-
-    diff = jnp.maximum(0.0, valid_count - target_point_num * 0.99) \
-        * total / jnp.maximum(valid_count, 1)
-    prune_count = jnp.minimum(diff * prune_ratio,
-                              select_count * max_prune_ratio)
-    n_by_max = (prune_count * contrib_max_ratio).astype(jnp.int32)
-    n_by_sum = (prune_count * (1 - contrib_max_ratio)).astype(jnp.int32)
-
-    def rank_mask(values, n_prune):
-        score = jnp.where(select, values, jnp.inf)
-        order = jnp.argsort(score, stable=True)
-        rank = jnp.zeros(C, jnp.int32).at[order].set(jnp.arange(C, dtype=jnp.int32))
-        return (rank < n_prune) & select
-
-    prune_mask = rank_mask(state.contrib_max, n_by_max) | \
-        rank_mask(state.contrib_sum, n_by_sum)
-
-    if sparsity_retain_ratio > 0 and inter_point_dist is not None:
-        n_pruned = prune_mask.sum()
-        retain = (sparsity_retain_ratio * n_pruned).astype(jnp.int32)
-        score = jnp.where(prune_mask, -inter_point_dist, jnp.inf)
-        order = jnp.argsort(score, stable=True)
-        rank = jnp.zeros(C, jnp.int32).at[order].set(jnp.arange(C, dtype=jnp.int32))
-        prune_mask = prune_mask & ~(rank < retain)
-
-    state = replace(
-        state,
-        contrib_sum=jnp.where(select, 0, state.contrib_sum),
-        contrib_max=jnp.where(select, 0, state.contrib_max),
-        contrib_denom=jnp.where(select, 0, state.contrib_denom),
-    )
+    prune_mask, select = contribution_prune_mask(
+        state, inside, min_view_count=min_view_count,
+        target_point_num=target_point_num, prune_ratio=prune_ratio,
+        max_prune_ratio=max_prune_ratio, contrib_max_ratio=contrib_max_ratio,
+        inter_point_dist=inter_point_dist,
+        sparsity_retain_ratio=sparsity_retain_ratio)
+    state = reset_contribution_stats(state, select)
     return prune(params, opt, state, prune_mask) + (prune_mask.sum(),)

@@ -1,0 +1,42 @@
+"""ADC cadence helpers shared by the TS and GS trainers."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def resolve_contribution_pruning(cp, iteration: int):
+    """Apply the downsample schedule to the contribution-pruning knobs
+    (reference VanillaTS_model.py:474-489 / VanillaGS_model.py:419-426:
+    each crossed downsample_iteration halves contrib_max_ratio, moves the
+    sparsity retain ratio halfway to 0.8, and rebalances prune_ratio so the
+    EFFECTIVE prune rate is unchanged by the larger retention).
+
+    Returns ``(target_point_num, contrib_max_ratio, prune_ratio, retain)``.
+    """
+    target = cp.target_point_num
+    ratio = cp.contrib_max_ratio if cp.contrib_max_ratio is not None else 0.1
+    prune_ratio = cp.prune_ratio if cp.prune_ratio is not None else 0.15
+    retain = cp.sparsity_retain_ratio or 0.0
+    if cp.downsample_iteration:
+        for it, pnum in zip(cp.downsample_iteration, cp.downsample_point_num):
+            if iteration > it:
+                target = pnum
+                ratio *= 0.5
+                new_retain = retain + (0.8 - retain) * 0.5
+                prune_ratio *= (1 - retain) / (1 - new_retain)
+                retain = new_retain
+    return target, ratio, prune_ratio, retain
+
+
+def alive_inter_point_dist(xyz: np.ndarray, alive: np.ndarray):
+    """(C,) sparsity distances among ALIVE rows only — dead capacity slots
+    hold stale/zero positions that would corrupt the kNN ranking."""
+    from ..models.model_utils import inter_point_distance_np
+    xyz = np.asarray(xyz)
+    alive = np.asarray(alive)
+    full = np.zeros(len(xyz), np.float32)
+    if alive.any():
+        full[alive] = inter_point_distance_np(xyz[alive])
+    return jnp.asarray(full)

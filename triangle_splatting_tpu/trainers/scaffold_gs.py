@@ -93,6 +93,11 @@ class ScaffoldGSTrainer(BaseTrainer):
         u = self.config.model.anchor_update
         self._u = u
         if u is not None:
+            if u.start_iter is None or u.end_iter is None:
+                raise ValueError(
+                    "model.anchor_update requires start_iter and end_iter "
+                    "(the statistics window and grow/prune cadence both "
+                    "derive from them)")
             steps = (u.end_iter or 1) - (u.start_iter or 0)
             self.grad_threshold_scheduler = exponential_scheduler(
                 v_init=u.grad_threshold_init, v_final=u.grad_threshold_final,

@@ -271,7 +271,7 @@ class VanillaGSTrainer(BaseTrainer):
                 d.min_view_count, _f32(d.split_scale_threshold),
                 d.split_num or 2)
             if bool(overflow):
-                self.logger.warning("gaussian capacity full; raise capacity_factor")
+                self._grow_capacity()
             self.logger.info(f"[ITER {iteration}] densified {int(n)}")
         op = mu.opacity_pruning
         if op is not None and op.start_iter < iteration <= (op.hold_iter or op.end_iter) \
@@ -304,28 +304,14 @@ class VanillaGSTrainer(BaseTrainer):
         cp = mu.contribution_pruning
         if cp is not None and cp.start_iter < iteration <= cp.end_iter \
                 and iteration % cp.interval_iter == 0:
-            target = cp.target_point_num
-            ratio = cp.contrib_max_ratio if cp.contrib_max_ratio is not None else 0.1
-            prune_ratio = cp.prune_ratio if cp.prune_ratio is not None else 0.15
-            retain = cp.sparsity_retain_ratio or 0.0
-            if cp.downsample_iteration:
-                for it, pnum in zip(cp.downsample_iteration,
-                                    cp.downsample_point_num):
-                    if iteration > it:
-                        target = pnum
-                        ratio *= 0.5
-                        new_retain = retain + (0.8 - retain) * 0.5
-                        prune_ratio *= (1 - retain) / (1 - new_retain)
-                        retain = new_retain
+            from .adc_utils import (alive_inter_point_dist,
+                                    resolve_contribution_pruning)
+            target, ratio, prune_ratio, retain = \
+                resolve_contribution_pruning(cp, iteration)
             ipd = None
             if retain > 0:
-                from ..models.model_utils import inter_point_distance_np
-                xyz = np.asarray(self.params.xyz)
-                alive = np.asarray(self.state.alive)
-                full = np.zeros(len(xyz), np.float32)
-                if alive.any():
-                    full[alive] = inter_point_distance_np(xyz[alive])
-                ipd = jnp.asarray(full)
+                ipd = alive_inter_point_dist(self.params.xyz,
+                                             self.state.alive)
             self.params, self.opt, self.state, n = self._j_contribution_pruning(
                 self.params, self.opt, self.state,
                 min_view_count=np.int32(cp.min_view_count
@@ -334,8 +320,7 @@ class VanillaGSTrainer(BaseTrainer):
                 prune_ratio=_f32(prune_ratio),
                 max_prune_ratio=_f32(cp.max_prune_ratio
                                      if cp.max_prune_ratio is not None else 0.2),
-                contrib_max_ratio=_f32(ratio),
-                scene_bbox=getattr(self, "scene_bbox", None),
+                contrib_max_ratio=_f32(ratio), scene_bbox=self.scene_bbox,
                 inter_point_dist=ipd, sparsity_retain_ratio=retain)
             self.logger.info(f"[ITER {iteration}] contribution-pruned {int(n)}")
         orr = mu.opacity_reset
@@ -351,6 +336,24 @@ class VanillaGSTrainer(BaseTrainer):
             if deg != self._sh_degree_host:
                 self._sh_degree_host = deg
                 self.state = replace(self.state, active_sh_degree=jnp.int32(deg))
+
+    def _grow_capacity(self):
+        """Host-side capacity reallocation (pad by 50%, recompile) — splits
+        deferred by a full capacity re-run on the grown buffers next round."""
+        old = self.params.capacity
+        new = int(old * 1.5 + 255) // 256 * 256
+
+        def pad(leaf):
+            if leaf is None or leaf.ndim == 0 or leaf.shape[0] != old:
+                return leaf
+            pad_shape = (new - old,) + leaf.shape[1:]
+            return jnp.concatenate([leaf, jnp.zeros(pad_shape, leaf.dtype)], 0)
+
+        self.params = jax.tree_util.tree_map(pad, self.params)
+        self.opt = jax.tree_util.tree_map(pad, self.opt)
+        self.state = jax.tree_util.tree_map(pad, self.state)
+        self.logger.warning(f"Capacity grown {old} -> {new} "
+                            "(recompilation follows)")
 
     def train(self):
         cfgt = self.config.trainer
@@ -451,18 +454,12 @@ class VanillaGSTrainer(BaseTrainer):
 
     # -- IO (3DGS-compatible schema) ---------------------------------------
     def savePLY(self, path):
+        from ..models.raw_gaussian import pack_sh_features
         alive = np.asarray(self.state.alive)
-        feats = np.asarray(G.get_features(self.params))[alive]   # (n, K, 3)
-        # 3DGS PLY layout: f_dc RGB then f_rest CHANNEL-major (all R coeffs,
-        # all G, all B) — matches loadPLY's transpose (raw_gaussian.py:79).
-        shs = np.concatenate(
-            [feats[:, 0, :],
-             feats[:, 1:, :].transpose(0, 2, 1).reshape(len(feats), -1)],
-            axis=1)
         g = RawGaussian(
             xyz=np.asarray(self.params.xyz)[alive],
             opacity=np.asarray(self.params.opacity)[alive],
-            shs=shs,
+            shs=pack_sh_features(np.asarray(G.get_features(self.params))[alive]),
             scale=np.asarray(self.params.scaling)[alive],
             rotation=np.asarray(self.params.rotation)[alive])
         self.logger.info(f"Saving {len(g)} gaussians to {path}")
@@ -470,18 +467,12 @@ class VanillaGSTrainer(BaseTrainer):
         g.savePLY(path)
 
     def loadPLY(self, path):
+        from ..models.raw_gaussian import unpack_sh_features
         g = RawGaussian(ply_path=str(path))
         n = len(g)
         K = (self.model_cfg.max_sh_degree + 1) ** 2
-        shs = np.zeros((n, K, 3), np.float32)
-        loaded = g.shs.reshape(n, -1)
-        f_dc = loaded[:, :3].reshape(n, 1, 3)
-        # 3DGS f_rest layout is channel-major (3, K-1); transpose to (K-1, 3)
-        rest = loaded[:, 3:]
-        if rest.shape[1] == (K - 1) * 3:
-            f_rest = rest.reshape(n, 3, K - 1).transpose(0, 2, 1)
-        else:
-            f_rest = np.zeros((n, K - 1, 3), np.float32)
+        feats = unpack_sh_features(g.shs, K)
+        f_dc, f_rest = feats[:, :1], feats[:, 1:]
         cap = (n + 255) // 256 * 256
 
         def pad(x):

@@ -479,31 +479,14 @@ class VanillaTSTrainer(BaseTrainer):
         if active(cp):
             # defaults from the reference mesh configs
             # (NerfSynthetic_VanillaTS_mesh.yaml:123-134)
-            target = cp.target_point_num
-            ratio = cp.contrib_max_ratio if cp.contrib_max_ratio is not None else 0.1
-            prune_ratio = cp.prune_ratio if cp.prune_ratio is not None else 0.15
-            retain = cp.sparsity_retain_ratio or 0.0
-            if cp.downsample_iteration:
-                for it, pnum in zip(cp.downsample_iteration, cp.downsample_point_num):
-                    if iteration > it:
-                        target = pnum
-                        ratio *= 0.5
-                        new_retain = retain + (0.8 - retain) * 0.5
-                        prune_ratio *= (1 - retain) / (1 - new_retain)
-                        retain = new_retain
+            from .adc_utils import (alive_inter_point_dist,
+                                    resolve_contribution_pruning)
+            target, ratio, prune_ratio, retain = \
+                resolve_contribution_pruning(cp, iteration)
             ipd = None
             if retain > 0:
-                # distances among ALIVE triangles only — dead slots hold
-                # stale/zero vertices that would corrupt the kNN ranking
-                # (reference inter_point_distance sees live points only,
-                # VanillaTS_model.py:509)
-                from ..models.model_utils import inter_point_distance_np
-                xyz = np.asarray(M.get_xyz(self.params))
-                alive = np.asarray(self.state.alive)
-                full = np.zeros(len(xyz), np.float32)
-                if alive.any():
-                    full[alive] = inter_point_distance_np(xyz[alive])
-                ipd = jnp.asarray(full)
+                ipd = alive_inter_point_dist(M.get_xyz(self.params),
+                                             self.state.alive)
             self.params, self.opt, self.state, n = self._j_contribution_pruning(
                 self.params, self.opt, self.state,
                 min_view_count=np.int32(cp.min_view_count

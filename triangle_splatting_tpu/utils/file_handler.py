@@ -203,6 +203,7 @@ class MirrorHandler(BaseFileHandler):
                       skip_exist: bool | None = None) -> bool:
         if not self._can_upload:
             return False
+        self._maybe_refresh_lock()
         skip = self._put_skip_exist if skip_exist is None else skip_exist
         if skip and self.remote.exists(file_path):
             return True
@@ -246,27 +247,30 @@ class MirrorHandler(BaseFileHandler):
                     or self.remoteFail(flag_name, target_dir))
 
     # -- upload lock ---------------------------------------------------------
+    # A holder refreshes its timestamp on every upload; make this comfortably
+    # larger than the longest expected gap between uploads (checkpoint/PLY
+    # save cadence) or a live-but-quiet run can have its lock stolen.
     LOCK_STALE_S = 3600.0
 
     def _acquire_upload_lock(self) -> bool:
         """Elect one uploader per remote root via an atomic create. A lock
-        whose embedded timestamp is older than ``LOCK_STALE_S`` (a dead or
-        finished process that never released) is broken and re-acquired.
-        ``release_upload_lock()`` removes the lock; it runs automatically
-        at interpreter exit for the process that holds it."""
+        whose embedded timestamp is READABLE and older than ``LOCK_STALE_S``
+        (a dead process that never released) is broken and re-acquired; an
+        unreadable meta is treated as held (never break a lock mid-write).
+        ``release_upload_lock()`` removes the lock if this process still
+        owns it; it runs automatically at interpreter exit."""
         lock = "upload.lock"
         try:
             if self.remote.exists(lock):
-                age = self._remote_lock_age(lock)
-                if age is not None and age < self.LOCK_STALE_S:
+                age = self._read_lock_meta(lock)[1]
+                if age is None or age < self.LOCK_STALE_S:
                     return False
-                # stale (or unreadable-meta) lock: break it
                 try:
-                    self.remote.remove(lock)
+                    self.remote.remove(lock)      # verified stale
                 except Exception:
                     return False
-            self.remote.touch(lock)
             self.remote.put(self._write_lock_meta(), lock)
+            self._lock_refreshed = time.time()
             import atexit
             atexit.register(self.release_upload_lock)
             return True
@@ -274,24 +278,40 @@ class MirrorHandler(BaseFileHandler):
             return False
 
     def release_upload_lock(self) -> None:
-        """Drop the remote upload lock (idempotent)."""
+        """Drop the remote upload lock if still OURS (idempotent; a stolen
+        or re-acquired lock belonging to another pid is left alone)."""
         if not getattr(self, "_can_upload", False):
             return
         try:
-            self.remote.remove("upload.lock")
+            pid, _ = self._read_lock_meta("upload.lock")
+            if pid == os.getpid():
+                self.remote.remove("upload.lock")
         except Exception:
             pass
         self._can_upload = False
 
-    def _remote_lock_age(self, lock: str):
-        """Seconds since the lock's embedded timestamp; None if unreadable."""
+    def _maybe_refresh_lock(self) -> None:
+        """Heartbeat: re-stamp the held lock so long active runs are never
+        treated as stale by newcomers."""
+        now = time.time()
+        if now - getattr(self, "_lock_refreshed", 0.0) < self.LOCK_STALE_S / 4:
+            return
+        try:
+            self.remote.put(self._write_lock_meta(), "upload.lock")
+            self._lock_refreshed = now
+        except Exception:
+            pass
+
+    def _read_lock_meta(self, lock: str):
+        """(pid, age_seconds) from the lock's meta; (None, None) if
+        unreadable."""
         try:
             local = Path(self._local_root) / ".upload_lock_peek"
             self.remote.get(lock, str(local))
-            ts = float(local.read_text().split()[1])
-            return time.time() - ts
+            pid_s, ts_s = local.read_text().split()[:2]
+            return int(pid_s), time.time() - float(ts_s)
         except Exception:
-            return None
+            return None, None
 
     def _write_lock_meta(self) -> str:
         meta = Path(self._local_root) / ".upload_lock_meta"
