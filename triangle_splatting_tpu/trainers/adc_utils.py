@@ -30,6 +30,31 @@ def resolve_contribution_pruning(cp, iteration: int):
     return target, ratio, prune_ratio, retain
 
 
+def grow_capacity(params, opt, state, logger=None, factor: float = 1.5,
+                  round_to: int = 256):
+    """Host-side capacity reallocation shared by the trainers: zero-pad
+    every capacity-sized leaf of params/opt/state by ``factor`` (one
+    recompile follows). Callers restore any non-zero dead-slot invariants
+    (e.g. identity quaternions) afterwards."""
+    import jax
+    old = params.capacity
+    new = int(old * factor + round_to - 1) // round_to * round_to
+
+    def pad(leaf):
+        if leaf is None or leaf.ndim == 0 or leaf.shape[0] != old:
+            return leaf
+        pad_shape = (new - old,) + leaf.shape[1:]
+        return jnp.concatenate([leaf, jnp.zeros(pad_shape, leaf.dtype)], 0)
+
+    params = jax.tree_util.tree_map(pad, params)
+    opt = jax.tree_util.tree_map(pad, opt)
+    state = jax.tree_util.tree_map(pad, state)
+    if logger is not None:
+        logger.warning(f"Capacity grown {old} -> {new} "
+                       "(recompilation follows)")
+    return params, opt, state
+
+
 def alive_inter_point_dist(xyz: np.ndarray, alive: np.ndarray):
     """(C,) sparsity distances among ALIVE rows only — dead capacity slots
     hold stale/zero positions that would corrupt the kNN ranking."""

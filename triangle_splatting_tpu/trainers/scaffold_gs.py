@@ -98,7 +98,7 @@ class ScaffoldGSTrainer(BaseTrainer):
                     "model.anchor_update requires start_iter and end_iter "
                     "(the statistics window and grow/prune cadence both "
                     "derive from them)")
-            steps = (u.end_iter or 1) - (u.start_iter or 0)
+            steps = u.end_iter - u.start_iter
             self.grad_threshold_scheduler = exponential_scheduler(
                 v_init=u.grad_threshold_init, v_final=u.grad_threshold_final,
                 max_steps=steps)

@@ -339,21 +339,17 @@ class VanillaGSTrainer(BaseTrainer):
 
     def _grow_capacity(self):
         """Host-side capacity reallocation (pad by 50%, recompile) — splits
-        deferred by a full capacity re-run on the grown buffers next round."""
+        deferred by a full re-run on the grown buffers next round."""
+        from .adc_utils import grow_capacity
         old = self.params.capacity
-        new = int(old * 1.5 + 255) // 256 * 256
-
-        def pad(leaf):
-            if leaf is None or leaf.ndim == 0 or leaf.shape[0] != old:
-                return leaf
-            pad_shape = (new - old,) + leaf.shape[1:]
-            return jnp.concatenate([leaf, jnp.zeros(pad_shape, leaf.dtype)], 0)
-
-        self.params = jax.tree_util.tree_map(pad, self.params)
-        self.opt = jax.tree_util.tree_map(pad, self.opt)
-        self.state = jax.tree_util.tree_map(pad, self.state)
-        self.logger.warning(f"Capacity grown {old} -> {new} "
-                            "(recompilation follows)")
+        self.params, self.opt, self.state = grow_capacity(
+            self.params, self.opt, self.state, self.logger)
+        # restore the dead-slot identity-quaternion invariant the zero-pad
+        # broke (create_from_points sets w=1 so dead covariances stay
+        # non-singular, gaussian_model.py create_from_points)
+        self.params = replace(
+            self.params,
+            rotation=self.params.rotation.at[old:, 0].set(1.0))
 
     def train(self):
         cfgt = self.config.trainer

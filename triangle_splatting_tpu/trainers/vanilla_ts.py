@@ -523,21 +523,11 @@ class VanillaTSTrainer(BaseTrainer):
 
     def _grow_capacity(self):
         """Host-side capacity reallocation (pad by 50%, recompile)."""
-        old = self.params.capacity
-        new = int(old * 1.5 + 255) // 256 * 256
-
-        def pad(leaf):
-            if leaf is None or leaf.ndim == 0 or leaf.shape[0] != old:
-                return leaf
-            pad_shape = (new - old,) + leaf.shape[1:]
-            return jnp.concatenate([leaf, jnp.zeros(pad_shape, leaf.dtype)], 0)
-
-        self.params = jax.tree_util.tree_map(pad, self.params)
-        self.opt = jax.tree_util.tree_map(pad, self.opt)
-        self.state = jax.tree_util.tree_map(pad, self.state)
+        from .adc_utils import grow_capacity
+        self.params, self.opt, self.state = grow_capacity(
+            self.params, self.opt, self.state, self.logger)
         # the cached vertex-reg kNN indices are sized to the old capacity
         self._nearest_stale = True
-        self.logger.warning(f"Capacity grown {old} -> {new} (recompilation follows)")
 
     def _loss_weights(self, iteration: int) -> dict:
         t = self.config.trainer

@@ -201,9 +201,8 @@ class MirrorHandler(BaseFileHandler):
 
     def remotePutFile(self, file_path: str,
                       skip_exist: bool | None = None) -> bool:
-        if not self._can_upload:
+        if not self._can_upload or not self._maybe_refresh_lock():
             return False
-        self._maybe_refresh_lock()
         skip = self._put_skip_exist if skip_exist is None else skip_exist
         if skip and self.remote.exists(file_path):
             return True
@@ -252,23 +251,37 @@ class MirrorHandler(BaseFileHandler):
     # save cadence) or a live-but-quiet run can have its lock stolen.
     LOCK_STALE_S = 3600.0
 
+    # double-check delay before declaring an UNREADABLE meta corrupt: a
+    # fresh lock is only meta-less for the instant of its atomic put
+    UNREADABLE_RECHECK_S = 2.0
+
     def _acquire_upload_lock(self) -> bool:
         """Elect one uploader per remote root via an atomic create. A lock
-        whose embedded timestamp is READABLE and older than ``LOCK_STALE_S``
-        (a dead process that never released) is broken and re-acquired; an
-        unreadable meta is treated as held (never break a lock mid-write).
+        whose embedded timestamp is older than ``LOCK_STALE_S`` (a dead
+        process that never released) is broken and re-acquired; an
+        UNREADABLE meta is re-read once after a short delay and broken only
+        if it stays unreadable (a mid-write lock becomes readable within
+        milliseconds; a truncated one from a crashed writer never does).
         ``release_upload_lock()`` removes the lock if this process still
-        owns it; it runs automatically at interpreter exit."""
+        owns it (a per-acquisition token, not a bare pid — pids collide
+        across hosts sharing a remote root); it runs at interpreter exit."""
         lock = "upload.lock"
         try:
             if self.remote.exists(lock):
-                age = self._read_lock_meta(lock)[1]
+                _, age = self._read_lock_meta(lock)
+                if age is None:
+                    time.sleep(self.UNREADABLE_RECHECK_S)
+                    _, age = self._read_lock_meta(lock)
+                    if age is None and self.remote.exists(lock):
+                        age = float("inf")       # persistently corrupt
                 if age is None or age < self.LOCK_STALE_S:
                     return False
                 try:
-                    self.remote.remove(lock)      # verified stale
+                    self.remote.remove(lock)      # verified stale/corrupt
                 except Exception:
                     return False
+            import uuid
+            self._lock_token = f"{os.getpid()}-{uuid.uuid4().hex[:8]}"
             self.remote.put(self._write_lock_meta(), lock)
             self._lock_refreshed = time.time()
             import atexit
@@ -278,44 +291,53 @@ class MirrorHandler(BaseFileHandler):
             return False
 
     def release_upload_lock(self) -> None:
-        """Drop the remote upload lock if still OURS (idempotent; a stolen
-        or re-acquired lock belonging to another pid is left alone)."""
+        """Drop the remote upload lock if still OURS (idempotent; a broken
+        and re-acquired lock belonging to another process is left alone)."""
         if not getattr(self, "_can_upload", False):
             return
         try:
-            pid, _ = self._read_lock_meta("upload.lock")
-            if pid == os.getpid():
+            token, _ = self._read_lock_meta("upload.lock")
+            if token == getattr(self, "_lock_token", None):
                 self.remote.remove("upload.lock")
         except Exception:
             pass
         self._can_upload = False
 
-    def _maybe_refresh_lock(self) -> None:
+    def _maybe_refresh_lock(self) -> bool:
         """Heartbeat: re-stamp the held lock so long active runs are never
-        treated as stale by newcomers."""
+        treated as stale by newcomers. Returns False (and demotes this
+        handler) if the lock is no longer ours — it was broken as stale and
+        another process acquired it; silently reclaiming would put two
+        concurrent uploaders on the same root."""
         now = time.time()
         if now - getattr(self, "_lock_refreshed", 0.0) < self.LOCK_STALE_S / 4:
-            return
+            return True
         try:
+            token, _ = self._read_lock_meta("upload.lock")
+            if token is not None and token != getattr(self, "_lock_token", None):
+                self._can_upload = False          # lost the election
+                return False
             self.remote.put(self._write_lock_meta(), "upload.lock")
             self._lock_refreshed = now
         except Exception:
             pass
+        return True
 
     def _read_lock_meta(self, lock: str):
-        """(pid, age_seconds) from the lock's meta; (None, None) if
+        """(token, age_seconds) from the lock's meta; (None, None) if
         unreadable."""
         try:
             local = Path(self._local_root) / ".upload_lock_peek"
             self.remote.get(lock, str(local))
-            pid_s, ts_s = local.read_text().split()[:2]
-            return int(pid_s), time.time() - float(ts_s)
+            token, ts_s = local.read_text().split()[:2]
+            return token, time.time() - float(ts_s)
         except Exception:
             return None, None
 
     def _write_lock_meta(self) -> str:
         meta = Path(self._local_root) / ".upload_lock_meta"
-        meta.write_text(f"{os.getpid()} {time.time()}\n")
+        token = getattr(self, "_lock_token", str(os.getpid()))
+        meta.write_text(f"{token} {time.time()}\n")
         return str(meta)
 
 
