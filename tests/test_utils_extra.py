@@ -177,3 +177,29 @@ class TestFileHandler:
         (remote / "upload.lock").write_text(f"99999 {time.time()}\n")
         h4 = MirrorHandler(str(remote), str(tmp_path / "c4"))
         assert not h4._can_upload
+
+    def test_corrupt_lock_recovered(self, tmp_path, monkeypatch):
+        """A persistently-unreadable lock meta (crashed writer) is broken
+        after the delayed re-read instead of blocking the root forever."""
+        from triangle_splatting_tpu.utils import file_handler as FH
+        monkeypatch.setattr(FH.MirrorHandler, "UNREADABLE_RECHECK_S", 0.05)
+        remote = tmp_path / "remote"
+        remote.mkdir()
+        (remote / "upload.lock").write_text("")          # truncated meta
+        h = MirrorHandler(str(remote), str(tmp_path / "c1"))
+        assert h._can_upload                             # corrupt lock broken
+
+    def test_lost_lock_demotes_uploader(self, tmp_path):
+        """A holder whose lock was broken and re-acquired must not silently
+        reclaim it on the next upload."""
+        import time
+        remote = tmp_path / "remote"
+        h = MirrorHandler(str(remote), str(tmp_path / "c1"))
+        assert h._can_upload
+        # someone else broke + re-acquired the lock
+        (remote / "upload.lock").write_text(f"other-token {time.time()}\n")
+        h._lock_refreshed = 0.0                          # force heartbeat
+        (tmp_path / "c1" / "f.txt").write_text("x")
+        assert not h.putFile(str(tmp_path / "c1" / "f.txt"), "f.txt",
+                             upload=True)
+        assert not h._can_upload
