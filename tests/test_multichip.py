@@ -330,3 +330,117 @@ class TestStackDPCameras:
         batch = stack_dp_cameras(cams)
         assert batch.gt_image.shape == (3, 3, 32, 32)
         assert batch.world_view.shape == (3, 4, 4)
+
+
+class TestGSScaffoldDPStepParity:
+    def _dataset(self, tmp_path):
+        from triangle_splatting_tpu.utils.testing import build_synthetic_nerf_dataset
+        return build_synthetic_nerf_dataset(tmp_path / "data", res=48,
+                                            n_tri=100, n_train=6, n_test=2)
+
+    def test_gs_dp_step_matches_mean_gradient(self, tmp_path):
+        """VanillaGS _train_step_dp == Adam on the camera-mean gradient with
+        sequential per-view statistics."""
+        from triangle_splatting_tpu.models import gaussian_model as G
+        from triangle_splatting_tpu.parallel.mesh import make_mesh, stack_cameras
+        from triangle_splatting_tpu.trainers.smoke import make_smoke_config
+        from triangle_splatting_tpu.trainers.vanilla_gs import VanillaGSTrainer
+
+        root = self._dataset(tmp_path)
+        cfg = make_smoke_config(root, tmp_path / "out", 100, model="gs")
+        trainer = VanillaGSTrainer(cfg, impl="oracle", log_file=False)
+        trainer._init_model()
+        trainer._track_stats = True
+        trainer._mesh = make_mesh(2)
+        cams = [trainer.dataset.nextTrainData().strip_static()
+                for _ in range(2)]
+        settings = trainer._settings_for(cams[0])
+        weights = {"l1": np.float32(0.8), "ssim": np.float32(0.2)}
+        lrs = trainer._lrs(1)
+        bg = jnp.ones(3)
+        params, opt, state = trainer.params, trainer.opt, trainer.state
+        C = params.capacity
+
+        grads, ref_state = [], state
+        for cam in cams:
+            (l, aux), (gp, gm) = jax.value_and_grad(
+                lambda p, m: trainer._camera_loss(settings, p, m, state, cam,
+                                                  bg, weights),
+                argnums=(0, 1), has_aux=True)(
+                    params, jnp.zeros((C, 2), jnp.float32))
+            grads.append(gp)
+            vis = aux["visible_mask"] & trainer._stat_gate(np.int32(1))
+            ref_state = G.update_statistics(ref_state, gm, aux["radii"],
+                                            aux["contrib_sum"],
+                                            aux["contrib_max"], vis)
+        mean_gp = jax.tree_util.tree_map(lambda a, b: (a + b) / 2.0, *grads)
+        ref_params, _ = G.adam_update(params, opt, mean_gp, lrs)
+
+        copy = lambda t: jax.tree_util.tree_map(jnp.array, t)
+        p2, o2, s2, loss_dp, slim = trainer._train_step_dp(
+            settings, copy(params), copy(opt), copy(state),
+            stack_cameras(cams), bg, lrs, weights, np.int32(1))
+        for a, b in zip(jax.tree_util.tree_leaves(ref_params),
+                        jax.tree_util.tree_leaves(p2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ref_state.gradient_accum),
+                                   np.asarray(s2.gradient_accum),
+                                   rtol=2e-5, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(ref_state.gradient_denom),
+                                   np.asarray(s2.gradient_denom))
+
+    def test_scaffold_dp_step_matches_mean_gradient(self, tmp_path):
+        """Scaffold _train_step_dp: anchors/MLP grads psum-med to the
+        camera mean; per-view anchor statistics sum exactly."""
+        from triangle_splatting_tpu.models import scaffold as S
+        from triangle_splatting_tpu.parallel.mesh import make_mesh, stack_cameras
+        from triangle_splatting_tpu.trainers.smoke import make_smoke_config
+        from triangle_splatting_tpu.trainers.scaffold_gs import ScaffoldGSTrainer
+
+        root = self._dataset(tmp_path)
+        cfg = make_smoke_config(root, tmp_path / "out", 100, model="scaffold")
+        trainer = ScaffoldGSTrainer(cfg, impl="oracle", log_file=False)
+        trainer._init_model()
+        trainer._track_stats = True
+        trainer._mesh = make_mesh(2)
+        cams = [trainer.dataset.nextTrainData().strip_static()
+                for _ in range(2)]
+        settings = trainer._settings_for(cams[0])
+        weights = {"l1": np.float32(0.8), "ssim": np.float32(0.2),
+                   "scaling": np.float32(0.01), "opacity": np.float32(0.01)}
+        lrs = trainer._lrs(60)            # inside the anchor_update window
+        bg = jnp.ones(3)
+        params, opt, state = trainer.params, trainer.opt, trainer.state
+        N = params.capacity * trainer.model_cfg.n_offsets
+
+        grads, ref_state = [], state
+        for cam in cams:
+            (l, aux), (gp, gm) = jax.value_and_grad(
+                lambda p, m: trainer._camera_loss(settings, p, m, state, cam,
+                                                  bg, weights),
+                argnums=(0, 1), has_aux=True)(
+                    params, jnp.zeros((N, 2), jnp.float32))
+            grads.append(gp)
+            ref_state = S.update_statistics(
+                ref_state, gm, aux["pkg"], trainer.model_cfg.n_offsets,
+                gate=trainer._stat_gate(np.int32(60)))
+        mean_gp = jax.tree_util.tree_map(lambda a, b: (a + b) / 2.0, *grads)
+        ref_params, _ = S.adam_update(params, opt, mean_gp, lrs)
+
+        copy = lambda t: jax.tree_util.tree_map(jnp.array, t)
+        p2, o2, s2, loss_dp, slim = trainer._train_step_dp(
+            settings, copy(params), copy(opt), copy(state),
+            stack_cameras(cams), bg, lrs, weights, np.int32(60))
+        for a, b in zip(jax.tree_util.tree_leaves(ref_params),
+                        jax.tree_util.tree_leaves(p2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ref_state.offset_grad_accum),
+                                   np.asarray(s2.offset_grad_accum),
+                                   rtol=2e-5, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(ref_state.opacity_accum),
+                                   np.asarray(s2.opacity_accum),
+                                   rtol=2e-5, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(ref_state.anchor_denom),
+                                   np.asarray(s2.anchor_denom))
