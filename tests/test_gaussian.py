@@ -295,3 +295,24 @@ class TestGSADCStages:
         assert int(n) > 0
         alive = np.asarray(state.alive)
         assert not alive[0] and not alive[1]     # lowest contributors pruned
+
+
+class TestGrowCapacity:
+    def test_gs_grow_restores_identity_quats(self, tmp_path):
+        """Grown dead slots must keep the identity-quaternion invariant
+        create_from_points establishes (zero quats make singular covs)."""
+        from triangle_splatting_tpu.trainers.smoke import make_smoke_config
+        from triangle_splatting_tpu.trainers.vanilla_gs import VanillaGSTrainer
+        from triangle_splatting_tpu.utils.testing import build_synthetic_nerf_dataset
+        root = build_synthetic_nerf_dataset(tmp_path / "data", res=48,
+                                            n_tri=60, n_train=4, n_test=2)
+        cfg = make_smoke_config(root, tmp_path / "out", 10, model="gs")
+        trainer = VanillaGSTrainer(cfg, impl="oracle", log_file=False)
+        trainer._init_model()
+        old = trainer.params.capacity
+        trainer._grow_capacity()
+        assert trainer.params.capacity > old
+        rot = np.asarray(trainer.params.rotation)
+        # every grown dead row is a unit identity quaternion, not zeros
+        np.testing.assert_allclose(rot[old:, 0], 1.0)
+        np.testing.assert_allclose(np.linalg.norm(rot[old:], axis=1), 1.0)
