@@ -178,16 +178,36 @@ class TestFileHandler:
         h4 = MirrorHandler(str(remote), str(tmp_path / "c4"))
         assert not h4._can_upload
 
-    def test_corrupt_lock_recovered(self, tmp_path, monkeypatch):
-        """A persistently-unreadable lock meta (crashed writer) is broken
-        after the delayed re-read instead of blocking the root forever."""
+    def test_corrupt_lock_respected_with_warning(self, tmp_path, monkeypatch):
+        """A persistently-unreadable lock meta is NEVER stolen (a read
+        error must not put two uploaders on one root) — the handler stays
+        read-only and tells the operator to delete the lock."""
         from triangle_splatting_tpu.utils import file_handler as FH
         monkeypatch.setattr(FH.MirrorHandler, "UNREADABLE_RECHECK_S", 0.05)
         remote = tmp_path / "remote"
         remote.mkdir()
         (remote / "upload.lock").write_text("")          # truncated meta
         h = MirrorHandler(str(remote), str(tmp_path / "c1"))
-        assert h._can_upload                             # corrupt lock broken
+        assert not h._can_upload
+        # operator deletes the corrupt lock -> next handler uploads again
+        (remote / "upload.lock").unlink()
+        h2 = MirrorHandler(str(remote), str(tmp_path / "c2"))
+        assert h2._can_upload
+
+    def test_upload_lock_disabled_bypasses_election(self, tmp_path):
+        """upload_lock=False must always upload: no lock file, no heartbeat
+        demotion even when another process holds the lock."""
+        import time
+        remote = tmp_path / "remote"
+        remote.mkdir()
+        (remote / "upload.lock").write_text(f"other {time.time()}\n")
+        h = MirrorHandler(str(remote), str(tmp_path / "c1"), upload_lock=False)
+        assert h._can_upload
+        h._lock_refreshed = 0.0                          # would force heartbeat
+        (tmp_path / "c1" / "f.txt").write_text("x")
+        assert h.putFile(str(tmp_path / "c1" / "f.txt"), "f.txt", upload=True)
+        assert (remote / "f.txt").read_text() == "x"
+        assert h._can_upload
 
     def test_lost_lock_demotes_uploader(self, tmp_path):
         """A holder whose lock was broken and re-acquired must not silently

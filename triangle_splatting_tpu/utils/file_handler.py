@@ -148,6 +148,9 @@ class MirrorHandler(BaseFileHandler):
         self._logger = logger
         self._get_skip_exist = get_skip_exist
         self._put_skip_exist = put_skip_exist
+        # upload_lock=False bypasses the election entirely: always upload,
+        # no lock file, no heartbeat.
+        self._lock_enabled = bool(upload_lock)
         self._can_upload = (self._acquire_upload_lock() if upload_lock
                             else True)
 
@@ -201,7 +204,9 @@ class MirrorHandler(BaseFileHandler):
 
     def remotePutFile(self, file_path: str,
                       skip_exist: bool | None = None) -> bool:
-        if not self._can_upload or not self._maybe_refresh_lock():
+        if not self._can_upload:
+            return False
+        if self._lock_enabled and not self._maybe_refresh_lock():
             return False
         skip = self._put_skip_exist if skip_exist is None else skip_exist
         if skip and self.remote.exists(file_path):
@@ -256,12 +261,14 @@ class MirrorHandler(BaseFileHandler):
     UNREADABLE_RECHECK_S = 2.0
 
     def _acquire_upload_lock(self) -> bool:
-        """Elect one uploader per remote root via an atomic create. A lock
-        whose embedded timestamp is older than ``LOCK_STALE_S`` (a dead
-        process that never released) is broken and re-acquired; an
-        UNREADABLE meta is re-read once after a short delay and broken only
-        if it stays unreadable (a mid-write lock becomes readable within
-        milliseconds; a truncated one from a crashed writer never does).
+        """Elect one uploader per remote root (best-effort: a
+        filesystem/fuse remote has no atomic create, so the election
+        settles by writing our token and reading it back — last writer
+        wins, the loser stays read-only). A lock whose embedded timestamp
+        is older than ``LOCK_STALE_S`` (a dead process that never released)
+        is broken; an UNREADABLE meta is NEVER broken — it is respected
+        with a loud warning telling the operator to delete it (stealing on
+        a read error would put two uploaders on one root).
         ``release_upload_lock()`` removes the lock if this process still
         owns it (a per-acquisition token, not a bare pid — pids collide
         across hosts sharing a remote root); it runs at interpreter exit."""
@@ -272,17 +279,28 @@ class MirrorHandler(BaseFileHandler):
                 if age is None:
                     time.sleep(self.UNREADABLE_RECHECK_S)
                     _, age = self._read_lock_meta(lock)
-                    if age is None and self.remote.exists(lock):
-                        age = float("inf")       # persistently corrupt
-                if age is None or age < self.LOCK_STALE_S:
+                if age is None:
+                    if self.remote.exists(lock):
+                        self._warn("upload.lock has no readable meta; "
+                                   "uploads disabled — delete it from the "
+                                   "remote root to recover")
+                        return False
+                elif age < self.LOCK_STALE_S:
                     return False
-                try:
-                    self.remote.remove(lock)      # verified stale/corrupt
-                except Exception:
-                    return False
+                else:
+                    self._warn(f"breaking stale upload.lock (age {age:.0f}s "
+                               f"> {self.LOCK_STALE_S:.0f}s)")
+                    try:
+                        self.remote.remove(lock)
+                    except Exception:
+                        return False
             import uuid
             self._lock_token = f"{os.getpid()}-{uuid.uuid4().hex[:8]}"
             self.remote.put(self._write_lock_meta(), lock)
+            # settle concurrent acquisitions: whoever's token survived wins
+            token, _ = self._read_lock_meta(lock)
+            if token != self._lock_token:
+                return False
             self._lock_refreshed = time.time()
             import atexit
             atexit.register(self.release_upload_lock)
@@ -316,12 +334,21 @@ class MirrorHandler(BaseFileHandler):
             token, _ = self._read_lock_meta("upload.lock")
             if token is not None and token != getattr(self, "_lock_token", None):
                 self._can_upload = False          # lost the election
+                self._warn("upload.lock now belongs to another process; "
+                           "this handler is demoted to read-only — remote "
+                           "artifacts from this run will stop uploading")
                 return False
             self.remote.put(self._write_lock_meta(), "upload.lock")
             self._lock_refreshed = now
         except Exception:
             pass
         return True
+
+    def _warn(self, msg: str) -> None:
+        if self._logger is not None:
+            self._logger.warning(msg)
+        else:  # pragma: no cover - fallback path
+            print(f"[MirrorHandler] WARNING: {msg}")
 
     def _read_lock_meta(self, lock: str):
         """(token, age_seconds) from the lock's meta; (None, None) if
