@@ -316,3 +316,34 @@ class TestGrowCapacity:
         # every grown dead row is a unit identity quaternion, not zeros
         np.testing.assert_allclose(rot[old:, 0], 1.0)
         np.testing.assert_allclose(np.linalg.norm(rot[old:], axis=1), 1.0)
+
+
+class TestGSEarlyExitDrain:
+    def test_all_pixels_done_in_first_slab(self):
+        """With every pixel killed early, the GS kernel's new early-exit
+        must still drain in-flight DMAs and zero the skipped slabs'
+        pair-contrib slots (far gaussians report exactly zero contrib)."""
+        n = 300
+        rng = np.random.default_rng(11)
+        xyz = np.stack([rng.uniform(-0.3, 0.3, n),
+                        rng.uniform(-0.3, 0.3, n),
+                        np.linspace(3.0, 6.0, n)], -1).astype(np.float32)
+        scene = dict(
+            xyz=xyz, scale=np.full((n, 3), 2.0, np.float32),  # cover image
+            rot=np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1)),
+            opacity=np.full(n, 0.97, np.float32),
+            rgb=rng.uniform(0.05, 0.95, (n, 3)).astype(np.float32))
+        o = render(scene, "oracle")
+        p = render(scene, "pallas")
+        # termination happened almost immediately everywhere
+        assert int(np.asarray(o["n_contrib"]).max()) < 16
+        np.testing.assert_array_equal(np.asarray(p["n_contrib"]),
+                                      np.asarray(o["n_contrib"]))
+        np.testing.assert_allclose(np.asarray(p["render"]),
+                                   np.asarray(o["render"]), atol=1e-3)
+        # far gaussians (past every pixel's kill) contributed nothing
+        np.testing.assert_allclose(np.asarray(p["contrib_sum"])[-100:],
+                                   0.0, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(p["contrib_sum"]),
+                                   np.asarray(o["contrib_sum"]),
+                                   rtol=1e-3, atol=1e-5)
