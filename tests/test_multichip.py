@@ -19,6 +19,16 @@ class TestMultichip:
         assert len(jax.devices()) >= 8
         ge.dryrun_multichip(8)
 
+    def test_make_mesh_rejects_too_few_devices(self):
+        """A requested mesh larger than the device pool must raise, never
+        silently shrink (round-1 MULTICHIP gate ran 'multichip' on one
+        chip because of exactly that truncation)."""
+        from triangle_splatting_tpu.parallel.mesh import make_mesh
+        with pytest.raises(RuntimeError, match="requires"):
+            make_mesh(len(jax.devices()) + 1)
+        # and the no-arg form uses every device
+        assert make_mesh().devices.size == len(jax.devices())
+
     def test_trainer_dp_e2e(self, tmp_path):
         """VanillaTSTrainer with trainer.data_parallel=2: full loop on the
         virtual mesh — cameras sharded, stats accumulated, PSNR finite."""

@@ -108,5 +108,7 @@ class BaseDatasetFactory:
         return self._gt_gaussian
 
     def __del__(self):
-        if self._train_loader is not None:
-            self._train_loader.close()
+        # getattr: __init__ may raise before _train_loader is assigned.
+        loader = getattr(self, "_train_loader", None)
+        if loader is not None:
+            loader.close()

@@ -31,6 +31,14 @@ from ..utils.camera import Camera
 def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
     devices = jax.devices()
     n = n_devices or len(devices)
+    if len(devices) < n:
+        raise RuntimeError(
+            f"make_mesh({n}) requires {n} devices but only {len(devices)} "
+            f"are visible on backend '{jax.default_backend()}'. For a "
+            "virtual CPU mesh, set XLA_FLAGS=--xla_force_host_platform_"
+            f"device_count={n} and jax.config.update('jax_platforms', "
+            "'cpu') BEFORE the first jax use (see tests/conftest.py); "
+            "never silently shrink a requested mesh.")
     return Mesh(np.array(devices[:n]), (axis,))
 
 
