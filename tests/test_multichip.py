@@ -454,3 +454,189 @@ class TestGSScaffoldDPStepParity:
                                    rtol=2e-5, atol=1e-7)
         np.testing.assert_allclose(np.asarray(ref_state.anchor_denom),
                                    np.asarray(s2.anchor_denom))
+
+
+class TestDPLocalMinibatch:
+    """data_parallel > mesh size: B views scan-accumulated per device.
+
+    16 cameras over the 8-device virtual mesh (B=2) must match the
+    sequential mean-gradient + per-view-statistics reference exactly."""
+
+    def _dataset(self, tmp_path):
+        from triangle_splatting_tpu.utils.testing import build_synthetic_nerf_dataset
+        return build_synthetic_nerf_dataset(tmp_path / "data", res=48,
+                                            n_tri=100, n_train=6, n_test=2)
+
+    def test_dp_layout(self):
+        from triangle_splatting_tpu.parallel.mesh import dp_layout
+        assert dp_layout(16, 8) == (8, 2)
+        assert dp_layout(8, 8) == (8, 1)
+        assert dp_layout(3, 8) == (3, 1)
+        assert dp_layout(6, 4) == (3, 2)
+        assert dp_layout(7, 4) == (1, 7)   # prime > devices: local accumulate
+        with pytest.raises(ValueError):
+            dp_layout(0, 8)
+
+    def test_ts_dp16_on_8dev_matches_sequential(self, tmp_path):
+        from triangle_splatting_tpu.models import triangle as M
+        from triangle_splatting_tpu.parallel.mesh import make_mesh, stack_cameras
+        from triangle_splatting_tpu.trainers.smoke import make_smoke_config
+        from triangle_splatting_tpu.trainers.vanilla_ts import VanillaTSTrainer
+
+        root = self._dataset(tmp_path)
+        cfg = make_smoke_config(root, tmp_path / "out", 100)
+        cfg.trainer.data_parallel = 16
+        trainer = VanillaTSTrainer(cfg, impl="oracle", log_file=False)
+        trainer._init_model()
+        trainer._track_stats = True
+        trainer._mesh = make_mesh(8)
+        trainer._dp_b = 2
+        cams = [trainer.dataset.nextTrainData().strip_static()
+                for _ in range(16)]
+        settings = trainer._settings_for(cams[0])
+        weights = trainer._loss_weights(1)
+        lrs = trainer._lrs(1)
+        bg = jnp.ones(3)
+        params, opt, state = trainer.params, trainer.opt, trainer.state
+        C = params.capacity
+
+        grads, ref_state, ref_loss = [], state, 0.0
+        for cam in cams:
+            (loss, aux), (gp, gc) = jax.value_and_grad(
+                lambda p, c: trainer._camera_loss(
+                    settings, p, c, state, cam, bg, weights, None),
+                argnums=(0, 1), has_aux=True)(
+                    params, jnp.zeros((C, 2), jnp.float32))
+            grads.append(gp)
+            ref_loss += float(loss) / 16.0
+            vis = aux["visible_mask"] & trainer._stat_gate(np.int32(1))
+            ref_state = M.update_statistics(ref_state, gc, aux["radii"],
+                                            aux["contrib_sum"],
+                                            aux["contrib_max"], vis)
+        mean_gp = jax.tree_util.tree_map(
+            lambda *gs: None if gs[0] is None else sum(gs) / 16.0, *grads)
+        ref_params, _ = M.adam_update(params, opt, mean_gp, lrs)
+
+        copy = lambda t: jax.tree_util.tree_map(
+            lambda x: None if x is None else jnp.array(x), t)
+        p2, o2, s2, loss_dp, slim = trainer._train_step_dp(
+            settings, copy(params), copy(opt), copy(state),
+            stack_cameras(cams), bg, lrs, weights, np.int32(1), None)
+
+        assert abs(float(loss_dp) - ref_loss) < 1e-4 * max(abs(ref_loss), 1)
+        for a, b in zip(jax.tree_util.tree_leaves(ref_params),
+                        jax.tree_util.tree_leaves(p2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ref_state.gradient_accum),
+                                   np.asarray(s2.gradient_accum),
+                                   rtol=5e-5, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(ref_state.gradient_denom),
+                                   np.asarray(s2.gradient_denom))
+        np.testing.assert_allclose(np.asarray(ref_state.contrib_max),
+                                   np.asarray(s2.contrib_max), rtol=1e-5,
+                                   atol=1e-7)
+        np.testing.assert_allclose(np.asarray(ref_state.max_radii2d),
+                                   np.asarray(s2.max_radii2d))
+
+    def test_gs_dp4_on_2dev_matches_sequential(self, tmp_path):
+        from triangle_splatting_tpu.models import gaussian_model as G
+        from triangle_splatting_tpu.parallel.mesh import make_mesh, stack_cameras
+        from triangle_splatting_tpu.trainers.smoke import make_smoke_config
+        from triangle_splatting_tpu.trainers.vanilla_gs import VanillaGSTrainer
+
+        root = self._dataset(tmp_path)
+        cfg = make_smoke_config(root, tmp_path / "out", 100, model="gs")
+        trainer = VanillaGSTrainer(cfg, impl="oracle", log_file=False)
+        trainer._init_model()
+        trainer._track_stats = True
+        trainer._mesh = make_mesh(2)
+        trainer._dp_b = 2
+        cams = [trainer.dataset.nextTrainData().strip_static()
+                for _ in range(4)]
+        settings = trainer._settings_for(cams[0])
+        weights = {"l1": np.float32(0.8), "ssim": np.float32(0.2)}
+        lrs = trainer._lrs(1)
+        bg = jnp.ones(3)
+        params, opt, state = trainer.params, trainer.opt, trainer.state
+        C = params.capacity
+
+        grads, ref_state = [], state
+        for cam in cams:
+            (l, aux), (gp, gm) = jax.value_and_grad(
+                lambda p, m: trainer._camera_loss(settings, p, m, state, cam,
+                                                  bg, weights),
+                argnums=(0, 1), has_aux=True)(
+                    params, jnp.zeros((C, 2), jnp.float32))
+            grads.append(gp)
+            vis = aux["visible_mask"] & trainer._stat_gate(np.int32(1))
+            ref_state = G.update_statistics(ref_state, gm, aux["radii"],
+                                            aux["contrib_sum"],
+                                            aux["contrib_max"], vis)
+        mean_gp = jax.tree_util.tree_map(lambda *gs: sum(gs) / 4.0, *grads)
+        ref_params, _ = G.adam_update(params, opt, mean_gp, lrs)
+
+        copy = lambda t: jax.tree_util.tree_map(jnp.array, t)
+        p2, o2, s2, loss_dp, slim = trainer._train_step_dp(
+            settings, copy(params), copy(opt), copy(state),
+            stack_cameras(cams), bg, lrs, weights, np.int32(1))
+        for a, b in zip(jax.tree_util.tree_leaves(ref_params),
+                        jax.tree_util.tree_leaves(p2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ref_state.gradient_accum),
+                                   np.asarray(s2.gradient_accum),
+                                   rtol=5e-5, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(ref_state.gradient_denom),
+                                   np.asarray(s2.gradient_denom))
+
+    def test_scaffold_dp4_on_2dev_matches_sequential(self, tmp_path):
+        from triangle_splatting_tpu.models import scaffold as S
+        from triangle_splatting_tpu.parallel.mesh import make_mesh, stack_cameras
+        from triangle_splatting_tpu.trainers.smoke import make_smoke_config
+        from triangle_splatting_tpu.trainers.scaffold_gs import ScaffoldGSTrainer
+
+        root = self._dataset(tmp_path)
+        cfg = make_smoke_config(root, tmp_path / "out", 100, model="scaffold")
+        trainer = ScaffoldGSTrainer(cfg, impl="oracle", log_file=False)
+        trainer._init_model()
+        trainer._track_stats = True
+        trainer._mesh = make_mesh(2)
+        trainer._dp_b = 2
+        cams = [trainer.dataset.nextTrainData().strip_static()
+                for _ in range(4)]
+        settings = trainer._settings_for(cams[0])
+        weights = {"l1": np.float32(0.8), "ssim": np.float32(0.2),
+                   "scaling": np.float32(0.01), "opacity": np.float32(0.01)}
+        lrs = trainer._lrs(60)
+        bg = jnp.ones(3)
+        params, opt, state = trainer.params, trainer.opt, trainer.state
+        N = params.capacity * trainer.model_cfg.n_offsets
+
+        grads, ref_state = [], state
+        for cam in cams:
+            (l, aux), (gp, gm) = jax.value_and_grad(
+                lambda p, m: trainer._camera_loss(settings, p, m, state, cam,
+                                                  bg, weights),
+                argnums=(0, 1), has_aux=True)(
+                    params, jnp.zeros((N, 2), jnp.float32))
+            grads.append(gp)
+            ref_state = S.update_statistics(
+                ref_state, gm, aux["pkg"], trainer.model_cfg.n_offsets,
+                gate=trainer._stat_gate(np.int32(60)))
+        mean_gp = jax.tree_util.tree_map(lambda *gs: sum(gs) / 4.0, *grads)
+        ref_params, _ = S.adam_update(params, opt, mean_gp, lrs)
+
+        copy = lambda t: jax.tree_util.tree_map(jnp.array, t)
+        p2, o2, s2, loss_dp, slim = trainer._train_step_dp(
+            settings, copy(params), copy(opt), copy(state),
+            stack_cameras(cams), bg, lrs, weights, np.int32(60))
+        for a, b in zip(jax.tree_util.tree_leaves(ref_params),
+                        jax.tree_util.tree_leaves(p2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ref_state.offset_grad_accum),
+                                   np.asarray(s2.offset_grad_accum),
+                                   rtol=5e-5, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(ref_state.anchor_denom),
+                                   np.asarray(s2.anchor_denom))

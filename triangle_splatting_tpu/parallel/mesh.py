@@ -47,6 +47,24 @@ def stack_cameras(cameras: list[Camera]) -> Camera:
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *cameras)
 
 
+def dp_layout(dp_n: int, n_devices: int | None = None) -> tuple[int, int]:
+    """Split a ``trainer.data_parallel: N`` camera batch into
+    (mesh_devices, cameras_per_device).
+
+    Uses the largest divisor of ``dp_n`` that fits the device pool, so
+    ``data_parallel: 16`` on 8 chips runs 8-way with a 2-camera local
+    minibatch per chip (scan-accumulated — gradients identical to 16-way).
+    """
+    if n_devices is None:
+        n_devices = len(jax.devices())
+    if dp_n < 1:
+        raise ValueError(f"data_parallel must be >= 1, got {dp_n}")
+    for d in range(min(dp_n, n_devices), 0, -1):
+        if dp_n % d == 0:
+            return d, dp_n // d
+    raise AssertionError("unreachable: 1 divides dp_n")
+
+
 # NOTE: the three trainers keep their own thin shard_map step wrappers
 # (differing loss signatures, Adam modules, and aux dicts); the pieces that
 # must never drift — the per-view statistics reduction, camera-batch
@@ -100,10 +118,33 @@ def dp_eval_scores(mesh, eval_step_dp, settings, params, state, cameras,
             yield c0 + j, chunk[j], imgs[j], ps[j], ss[j]
 
 
-def reduce_view_statistics(state, vis, per_view_gnorm, contrib_sum,
-                           contrib_max, radii, axis):
-    """Apply one camera-batch's densification-statistic deltas to the
-    replicated state, reduced across mesh axis/axes ``axis``.
+def view_stat_locals(vis, per_view_gnorm, contrib_sum, contrib_max, radii):
+    """One view's visibility-gated statistic contribution, as the 5-tuple
+    ``(d_acc, d_den, cs, cm, rad)`` consumed by
+    ``reduce_view_statistics_local`` (sums for the first two, maxima for
+    the rest)."""
+    visf = vis.astype(jnp.float32)
+    return (jnp.where(vis, per_view_gnorm, 0.0), visf,
+            jnp.where(vis, contrib_sum, 0.0),
+            jnp.where(vis, contrib_max, 0.0),
+            jnp.where(vis, radii.astype(jnp.float32), 0.0))
+
+
+def zero_view_stat_locals(capacity: int):
+    z = jnp.zeros((capacity,), jnp.float32)
+    return (z, z, z, z, z)
+
+
+def accumulate_view_stat_locals(acc, new):
+    """Fold another view into accumulated locals (sum/sum/max/max/max) —
+    the scan-carry combine for a per-device camera minibatch."""
+    return (acc[0] + new[0], acc[1] + new[1], jnp.maximum(acc[2], new[2]),
+            jnp.maximum(acc[3], new[3]), jnp.maximum(acc[4], new[4]))
+
+
+def reduce_view_statistics_local(state, locals_, axis):
+    """Apply accumulated per-device statistic locals to the replicated
+    state, reduced across mesh axis/axes ``axis``.
 
     Per-VIEW semantics (VanillaTS_model.py:347-363; TriangleState and
     GaussianState share these field names): per-camera ``center2D``/
@@ -114,12 +155,12 @@ def reduce_view_statistics(state, vis, per_view_gnorm, contrib_sum,
     x, 0)))`` equals the visibility-gated sequential max).
     """
     from dataclasses import replace as _replace
-    visf = vis.astype(jnp.float32)
-    d_acc = jax.lax.psum(jnp.where(vis, per_view_gnorm, 0.0), axis)
-    d_den = jax.lax.psum(visf, axis)
-    cs = jax.lax.pmax(jnp.where(vis, contrib_sum, 0.0), axis)
-    cm = jax.lax.pmax(jnp.where(vis, contrib_max, 0.0), axis)
-    rad = jax.lax.pmax(jnp.where(vis, radii.astype(jnp.float32), 0.0), axis)
+    d_acc, d_den, cs, cm, rad = locals_
+    d_acc = jax.lax.psum(d_acc, axis)
+    d_den = jax.lax.psum(d_den, axis)
+    cs = jax.lax.pmax(cs, axis)
+    cm = jax.lax.pmax(cm, axis)
+    rad = jax.lax.pmax(rad, axis)
     return _replace(
         state,
         gradient_accum=state.gradient_accum + d_acc,
@@ -130,6 +171,14 @@ def reduce_view_statistics(state, vis, per_view_gnorm, contrib_sum,
         max_radii2d=jnp.maximum(state.max_radii2d, rad))
 
 
+def reduce_view_statistics(state, vis, per_view_gnorm, contrib_sum,
+                           contrib_max, radii, axis):
+    """One-view-per-device form of ``reduce_view_statistics_local``."""
+    return reduce_view_statistics_local(
+        state, view_stat_locals(vis, per_view_gnorm, contrib_sum,
+                                contrib_max, radii), axis)
+
+
 def _index_camera(cameras: Camera, i) -> Camera:
     return jax.tree_util.tree_map(lambda x: x[i], cameras)
 
@@ -137,39 +186,57 @@ def _index_camera(cameras: Camera, i) -> Camera:
 def make_dp_train_step(mesh: Mesh, settings: RasterSettings,
                        model_cfg: M.ModelConfig, loss_fn: Callable,
                        axis: str = "data", impl: str = "pallas",
-                       interpret: bool = False, donate: bool = True):
+                       interpret: bool = False, donate: bool = True,
+                       cameras_per_device: int = 1):
     """Build a jitted data-parallel train step.
 
     Args:
         loss_fn: (render_pkg, camera, params, state, weights) -> scalar loss
             for ONE camera. Per-device losses are summed across the mesh.
+        cameras_per_device: local minibatch size B. The step consumes a
+            camera batch of ``mesh_size * B`` views; each device
+            scan-accumulates its B views' gradients before the one psum —
+            gradients identical to a (mesh_size * B)-device run.
     Returns:
         step(params, opt, state, cameras, background, lrs, weights)
             -> (params, opt, state, loss, center2d_grad)
-        where ``cameras`` is a batched Camera pytree with leading dim equal
-        to the mesh size (sharded over ``axis``).
+        where ``cameras`` is a batched Camera pytree with leading dim
+        ``mesh_size * cameras_per_device`` (sharded over ``axis``).
     """
     try:
         from jax import shard_map
     except ImportError:
         from jax.experimental.shard_map import shard_map
 
-    n_dev = mesh.shape[axis]
+    B = int(cameras_per_device)
     repl = P()
     shard = P(axis)
 
     def per_device(params, opt, state, cameras, background, lrs, weights):
-        camera = _index_camera(cameras, 0)      # local shard has leading dim 1
+        def one_view(camera):
+            def local_loss(p, c2d):
+                pkg = M.forward(p, state, camera, background, model_cfg,
+                                settings, is_training=True,
+                                center2d_offset=c2d, impl=impl,
+                                interpret=interpret)
+                return loss_fn(pkg, camera, p, state, weights)
 
-        def local_loss(p, c2d):
-            pkg = M.forward(p, state, camera, background, model_cfg, settings,
-                            is_training=True, center2d_offset=c2d,
-                            impl=impl, interpret=interpret)
-            return loss_fn(pkg, camera, p, state, weights)
+            c2d = jnp.zeros((params.capacity, 2), jnp.float32)
+            return jax.value_and_grad(local_loss, argnums=(0, 1))(params, c2d)
 
-        c2d = jnp.zeros((params.capacity, 2), jnp.float32)
-        (loss, grads) = jax.value_and_grad(local_loss, argnums=(0, 1))(params, c2d)
-        g_params, g_c2d = grads
+        if B == 1:
+            loss, (g_params, g_c2d) = one_view(_index_camera(cameras, 0))
+        else:
+            def body(carry, camera):
+                loss_a, gp_a, gc_a = carry
+                loss_i, (gp_i, gc_i) = one_view(camera)
+                gp = jax.tree_util.tree_map(jnp.add, gp_a, gp_i)
+                return (loss_a + loss_i, gp, gc_a + gc_i), None
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+            init = (jnp.float32(0.0), zeros,
+                    jnp.zeros((params.capacity, 2), jnp.float32))
+            (loss, g_params, g_c2d), _ = jax.lax.scan(body, init, cameras)
         # Sum gradients over the camera batch (ICI collective).
         g_params = jax.lax.psum(g_params, axis)
         g_c2d = jax.lax.psum(g_c2d, axis)

@@ -65,6 +65,7 @@ class ScaffoldGSTrainer(BaseTrainer):
         # trainer.data_parallel: N cameras/step sharded over an N-device
         # mesh (same semantics as VanillaTSTrainer._train_step_dp).
         self._dp_n = int(self.config.trainer.data_parallel or 0)
+        self._dp_b = 1   # local views per device (set by dp_layout)
         self._mesh = None
         self.params = None
         self.state = None
@@ -152,7 +153,8 @@ class ScaffoldGSTrainer(BaseTrainer):
             anchor_visible_mask=pkg["anchor_visible_mask"],
             gaussian_visible_mask=pkg["gaussian_visible_mask"],
             gaussian_opacity=pkg["gaussian_opacity"]),
-            n_gaussians=sel.sum(), overflow=pkg["overflow"])
+            n_gaussians=sel.sum(), overflow=pkg["overflow"],
+            num_pairs=pkg["num_pairs"])
         return loss, aux
 
     def _stat_gate(self, iteration):
@@ -189,16 +191,17 @@ class ScaffoldGSTrainer(BaseTrainer):
     def _train_step_dp(self, settings, params, opt, state, cameras,
                        background, lrs, weights, iteration):
         """Camera-batch DP step over ``self._mesh`` (same semantics as
-        VanillaTSTrainer._train_step_dp). Scaffold's anchor-update
-        statistics (ScaffoldGS_model.py:243-386 cadence inputs) are all
-        per-view sums, so the cross-mesh reduction is a plain psum of the
-        per-view deltas."""
+        VanillaTSTrainer._train_step_dp, including the B-views-per-device
+        scan). Scaffold's anchor-update statistics
+        (ScaffoldGS_model.py:243-386 cadence inputs) are all per-view sums,
+        so the reduction is a plain sum over views + psum over the mesh."""
         from ..parallel.mesh import get_shard_map
         shard_map = get_shard_map()
 
         mesh = self._mesh
         axis = "data"
-        n_dev = mesh.shape[axis]
+        B = self._dp_b
+        n_views = mesh.shape[axis] * B
         repl, shard = jax.sharding.PartitionSpec(), \
             jax.sharding.PartitionSpec(axis)
         k = self.model_cfg.n_offsets
@@ -206,33 +209,59 @@ class ScaffoldGSTrainer(BaseTrainer):
 
         def per_device(params, opt, state, cameras, background, lrs, weights,
                        iteration):
-            camera = jax.tree_util.tree_map(lambda x: x[0], cameras)
+            def one_view(camera):
+                def loss_fn(p, m2d):
+                    loss, aux = self._camera_loss(settings, p, m2d, state,
+                                                  camera, background, weights)
+                    return loss / n_views, aux
 
-            def loss_fn(p, m2d):
-                loss, aux = self._camera_loss(settings, p, m2d, state, camera,
-                                              background, weights)
-                return loss / n_dev, aux
-
-            m2d = jnp.zeros((N, 2), jnp.float32)
-            (loss, aux), grads = jax.value_and_grad(
-                loss_fn, argnums=(0, 1), has_aux=True)(params, m2d)
-            g_params, g_m2d = grads
-            g_params = jax.lax.psum(g_params, axis)
-            loss = jax.lax.psum(loss, axis)
-            params, opt = S.adam_update(params, opt, g_params, lrs)
-
-            if self._track_stats:
+                m2d = jnp.zeros((N, 2), jnp.float32)
+                (loss, aux), grads = jax.value_and_grad(
+                    loss_fn, argnums=(0, 1), has_aux=True)(params, m2d)
+                g_params, g_m2d = grads
                 pkg = aux["pkg"]
                 gate = self._stat_gate(iteration)
                 vis_anchor = pkg["anchor_visible_mask"] & gate
                 g_vis = pkg["gaussian_visible_mask"] & gate
                 max_op = jnp.max(pkg["gaussian_opacity"], axis=1)
                 gnorm = S.safe_norm(
-                    (g_m2d * n_dev)[:, :2]).reshape(params.capacity, k)
-                d_op = jax.lax.psum(jnp.where(vis_anchor, max_op, 0.0), axis)
-                d_aden = jax.lax.psum(vis_anchor.astype(jnp.float32), axis)
-                d_g = jax.lax.psum(jnp.where(g_vis, gnorm, 0.0), axis)
-                d_oden = jax.lax.psum(g_vis.astype(jnp.float32), axis)
+                    (g_m2d * n_views)[:, :2]).reshape(params.capacity, k)
+                stat = (jnp.where(vis_anchor, max_op, 0.0),
+                        vis_anchor.astype(jnp.float32),
+                        jnp.where(g_vis, gnorm, 0.0),
+                        g_vis.astype(jnp.float32))
+                slim = (aux["n_gaussians"], aux["overflow"].astype(jnp.int32))
+                return loss, g_params, stat, slim
+
+            if B == 1:
+                camera = jax.tree_util.tree_map(lambda x: x[0], cameras)
+                loss, g_params, stat, slim = one_view(camera)
+            else:
+                def body(carry, camera):
+                    loss_a, gp_a, st_a, sl_a = carry
+                    loss_i, gp_i, st_i, sl_i = one_view(camera)
+                    st = jax.tree_util.tree_map(jnp.add, st_a, st_i)
+                    sl = (sl_a[0] + sl_i[0], jnp.maximum(sl_a[1], sl_i[1]))
+                    return (loss_a + loss_i,
+                            jax.tree_util.tree_map(jnp.add, gp_a, gp_i),
+                            st, sl), None
+
+                zc = jnp.zeros((params.capacity,), jnp.float32)
+                zo = jnp.zeros((params.capacity, k), jnp.float32)
+                init = (jnp.float32(0.0),
+                        jax.tree_util.tree_map(jnp.zeros_like, params),
+                        (zc, zc, zo, zo),
+                        (jnp.float32(0.0), jnp.int32(0)))
+                (loss, g_params, stat, slim), _ = jax.lax.scan(
+                    body, init, cameras)
+
+            g_params = jax.lax.psum(g_params, axis)
+            loss = jax.lax.psum(loss, axis)
+            params, opt = S.adam_update(params, opt, g_params, lrs)
+
+            if self._track_stats:
+                d_op, d_aden, d_g, d_oden = (
+                    jax.lax.psum(x, axis) for x in stat)
                 state = replace(
                     state,
                     opacity_accum=state.opacity_accum + d_op,
@@ -242,9 +271,8 @@ class ScaffoldGSTrainer(BaseTrainer):
 
             slim = dict(
                 # mean selected count/view, comparable to single-device logs
-                n_gaussians=jax.lax.psum(aux["n_gaussians"], axis) / n_dev,
-                overflow=jax.lax.pmax(
-                    aux["overflow"].astype(jnp.int32), axis) > 0)
+                n_gaussians=jax.lax.psum(slim[0], axis) / n_views,
+                overflow=jax.lax.pmax(slim[1], axis) > 0)
             return params, opt, state, loss, slim
 
         smapped = shard_map(
@@ -338,14 +366,12 @@ class ScaffoldGSTrainer(BaseTrainer):
         self._init_model()
         self._track_stats = self._u is not None
         if self._dp_n > 1:
-            from ..parallel.mesh import make_mesh
-            if len(jax.devices()) < self._dp_n:
-                raise ValueError(
-                    f"trainer.data_parallel={self._dp_n} but only "
-                    f"{len(jax.devices())} devices are visible")
-            self._mesh = make_mesh(self._dp_n)
+            from ..parallel.mesh import dp_layout, make_mesh
+            n_dev, self._dp_b = dp_layout(self._dp_n)
+            self._mesh = make_mesh(n_dev)
             self.logger.info(
-                f"Camera-batch data parallelism over {self._dp_n} devices")
+                f"Camera-batch data parallelism: {self._dp_n} views per "
+                f"step over {n_dev} devices ({self._dp_b} per device)")
         if cfgt.initial_eval:
             self._evaluate(0)
         timer = Timer("Training")
@@ -397,11 +423,17 @@ class ScaffoldGSTrainer(BaseTrainer):
                     f"{int(aux['n_gaussians'])}")
                 self.logger.add_scalar("Loss", float(loss), iteration)
                 self.logger.add_scalar("Anchor Count", anchors, iteration)
-                if bool(aux["overflow"]):
-                    self._ppt = min(self._ppt * 2, 32)
+                from .adc_utils import adapt_pair_budget
+                np_used = aux.get("num_pairs")   # DP aux is grow-only
+                new_ppt = adapt_pair_budget(
+                    self._ppt,
+                    int(np_used) if np_used is not None else None,
+                    int(aux["n_gaussians"]), bool(aux["overflow"]))
+                if new_ppt != self._ppt:
+                    self._ppt = new_ppt
                     self.logger.warning(
-                        "pair budget overflow — growing pairs_per_triangle "
-                        f"to {self._ppt} (one-time recompile)")
+                        "pair budget re-sized: pairs_per_triangle -> "
+                        f"{self._ppt} (one-time recompile)")
             if iteration in (cfgt.save_iterations or []):
                 timer.log("saving")
                 self.savePLY(f"{self.output_dir}/point_cloud/{iteration}.ply")

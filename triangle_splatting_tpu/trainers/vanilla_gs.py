@@ -44,6 +44,7 @@ class VanillaGSTrainer(BaseTrainer):
         # trainer.data_parallel: N cameras/step sharded over an N-device mesh
         # (same semantics as VanillaTSTrainer._train_step_dp).
         self._dp_n = int(self.config.trainer.data_parallel or 0)
+        self._dp_b = 1   # local views per device (set by dp_layout)
         self._mesh = None
         self.params = None
         self.state = None
@@ -130,7 +131,7 @@ class VanillaGSTrainer(BaseTrainer):
         aux = dict(radii=pkg["radii"], contrib_sum=pkg["contrib_sum"],
                    contrib_max=pkg["contrib_max"],
                    visible_mask=pkg["visible_mask"],
-                   overflow=pkg["overflow"])
+                   overflow=pkg["overflow"], num_pairs=pkg["num_pairs"])
         return loss, aux
 
     def _stat_gate(self, iteration):
@@ -166,44 +167,67 @@ class VanillaGSTrainer(BaseTrainer):
     def _train_step_dp(self, settings, params, opt, state, cameras,
                        background, lrs, weights, iteration):
         """Camera-batch DP step over ``self._mesh``: mean-gradient psum,
-        replicated Adam, per-VIEW statistics reduced across the mesh
-        (identical semantics to VanillaTSTrainer._train_step_dp)."""
-        from ..parallel.mesh import get_shard_map, reduce_view_statistics
+        replicated Adam, per-VIEW statistics reduced across views and the
+        mesh (identical semantics to VanillaTSTrainer._train_step_dp,
+        including the B-views-per-device scan when data_parallel exceeds
+        the mesh size)."""
+        from ..parallel.mesh import (accumulate_view_stat_locals,
+                                     get_shard_map,
+                                     reduce_view_statistics_local,
+                                     view_stat_locals, zero_view_stat_locals)
 
         mesh = self._mesh
         axis = "data"
-        n_dev = mesh.shape[axis]
+        B = self._dp_b
+        n_views = mesh.shape[axis] * B
         repl, shard = jax.sharding.PartitionSpec(), \
             jax.sharding.PartitionSpec(axis)
         C = params.capacity
 
         def per_device(params, opt, state, cameras, background, lrs, weights,
                        iteration):
-            camera = jax.tree_util.tree_map(lambda x: x[0], cameras)
+            def one_view(camera):
+                def loss_fn(p, m2d):
+                    loss, aux = self._camera_loss(settings, p, m2d, state,
+                                                  camera, background, weights)
+                    return loss / n_views, aux
 
-            def loss_fn(p, m2d):
-                loss, aux = self._camera_loss(settings, p, m2d, state, camera,
-                                              background, weights)
-                return loss / n_dev, aux
+                m2d = jnp.zeros((C, 2), jnp.float32)
+                (loss, aux), grads = jax.value_and_grad(
+                    loss_fn, argnums=(0, 1), has_aux=True)(params, m2d)
+                g_params, g_m2d = grads
+                stat = view_stat_locals(
+                    aux["visible_mask"] & self._stat_gate(iteration),
+                    G.safe_norm(g_m2d * n_views),   # per-view grad norm
+                    aux["contrib_sum"], aux["contrib_max"], aux["radii"])
+                return loss, g_params, stat, aux["overflow"].astype(jnp.int32)
 
-            m2d = jnp.zeros((C, 2), jnp.float32)
-            (loss, aux), grads = jax.value_and_grad(
-                loss_fn, argnums=(0, 1), has_aux=True)(params, m2d)
-            g_params, g_m2d = grads
+            if B == 1:
+                camera = jax.tree_util.tree_map(lambda x: x[0], cameras)
+                loss, g_params, stat, ovf = one_view(camera)
+            else:
+                def body(carry, camera):
+                    loss_a, gp_a, st_a, ov_a = carry
+                    loss_i, gp_i, st_i, ov_i = one_view(camera)
+                    return (loss_a + loss_i,
+                            jax.tree_util.tree_map(jnp.add, gp_a, gp_i),
+                            accumulate_view_stat_locals(st_a, st_i),
+                            jnp.maximum(ov_a, ov_i)), None
+
+                init = (jnp.float32(0.0),
+                        jax.tree_util.tree_map(jnp.zeros_like, params),
+                        zero_view_stat_locals(C), jnp.int32(0))
+                (loss, g_params, stat, ovf), _ = jax.lax.scan(
+                    body, init, cameras)
+
             g_params = jax.lax.psum(g_params, axis)
             loss = jax.lax.psum(loss, axis)
             params, opt = G.adam_update(params, opt, g_params, lrs)
 
             if self._track_stats:
-                state = reduce_view_statistics(
-                    state,
-                    aux["visible_mask"] & self._stat_gate(iteration),
-                    G.safe_norm(g_m2d * n_dev),   # per-view grad norm
-                    aux["contrib_sum"], aux["contrib_max"], aux["radii"],
-                    axis)
+                state = reduce_view_statistics_local(state, stat, axis)
 
-            slim = dict(overflow=jax.lax.pmax(
-                aux["overflow"].astype(jnp.int32), axis) > 0)
+            slim = dict(overflow=jax.lax.pmax(ovf, axis) > 0)
             return params, opt, state, loss, slim
 
         smapped = get_shard_map()(
@@ -356,14 +380,12 @@ class VanillaGSTrainer(BaseTrainer):
         self._init_model()
         self._track_stats = (self._mu is not None and self._mu.statistic is not None)
         if self._dp_n > 1:
-            from ..parallel.mesh import make_mesh
-            if len(jax.devices()) < self._dp_n:
-                raise ValueError(
-                    f"trainer.data_parallel={self._dp_n} but only "
-                    f"{len(jax.devices())} devices are visible")
-            self._mesh = make_mesh(self._dp_n)
+            from ..parallel.mesh import dp_layout, make_mesh
+            n_dev, self._dp_b = dp_layout(self._dp_n)
+            self._mesh = make_mesh(n_dev)
             self.logger.info(
-                f"Camera-batch data parallelism over {self._dp_n} devices")
+                f"Camera-batch data parallelism: {self._dp_n} views per "
+                f"step over {n_dev} devices ({self._dp_b} per device)")
         if cfgt.initial_eval:
             self._evaluate(0)
         timer = Timer("Training")
@@ -406,11 +428,17 @@ class VanillaGSTrainer(BaseTrainer):
                 self.logger.info(f"[ITER {iteration}] Loss: {float(loss):.5f}, "
                                  f"Gaussians: {int(self.state.alive.sum())}")
                 self.logger.add_scalar("Loss", float(loss), iteration)
-                if bool(aux["overflow"]):
-                    self._ppt = min(self._ppt * 2, 32)
+                from .adc_utils import adapt_pair_budget
+                np_used = aux.get("num_pairs")   # DP aux is grow-only
+                new_ppt = adapt_pair_budget(
+                    self._ppt,
+                    int(np_used) if np_used is not None else None,
+                    int(self.state.alive.sum()), bool(aux["overflow"]))
+                if new_ppt != self._ppt:
+                    self._ppt = new_ppt
                     self.logger.warning(
-                        "pair budget overflow — growing pairs_per_triangle "
-                        f"to {self._ppt} (one-time recompile)")
+                        "pair budget re-sized: pairs_per_triangle -> "
+                        f"{self._ppt} (one-time recompile)")
             if iteration in (cfgt.save_iterations or []):
                 timer.log("saving")
                 self.savePLY(f"{self.output_dir}/point_cloud/{iteration}.ply")

@@ -56,6 +56,7 @@ class VanillaTSTrainer(BaseTrainer):
         # trainer.data_parallel: N shards a batch of N cameras per step
         # across an N-device mesh (no upstream equivalent; SURVEY.md §2.3).
         self._dp_n = int(self.config.trainer.data_parallel or 0)
+        self._dp_b = 1   # local views per device (set by dp_layout)
         self._mesh = None
         self.scene_bbox = None
         scene_info = self.dataset.getSceneInfo()
@@ -253,59 +254,97 @@ class VanillaTSTrainer(BaseTrainer):
         """Camera-batch data-parallel train step over ``self._mesh``.
 
         The reference's only multi-GPU mechanism is independent per-scene
-        processes (SURVEY.md §2.3); here one scene trains on N chips by
-        sharding a batch of N cameras across the mesh. Parameters are
-        replicated, every chip rasterizes its own camera, and the MEAN
-        gradient is ``psum``-med over ICI before a replicated Adam step —
-        so learning-rate/Adam hyperparameters keep their single-camera
-        meaning and one DP step averages N views. Densification statistics
-        keep per-VIEW semantics (VanillaTS_model.py:347-363): per-camera
-        ``center2D`` gradient norms and view counts are summed across the
-        mesh, contribution/radius maxima are ``pmax``-ed — identical to
-        running those N cameras through N sequential single-device steps.
+        processes (SURVEY.md §2.3); here one scene trains a batch of
+        ``data_parallel`` cameras per step: the batch is sharded across the
+        mesh (``B = batch / mesh_size`` views per chip, scan-accumulated
+        locally when B > 1). Parameters are replicated, every chip
+        rasterizes its own camera(s), and the MEAN gradient is ``psum``-med
+        over ICI before a replicated Adam step — so learning-rate/Adam
+        hyperparameters keep their single-camera meaning and one DP step
+        averages the batch's views. Densification statistics keep per-VIEW
+        semantics (VanillaTS_model.py:347-363): per-camera ``center2D``
+        gradient norms and view counts are summed across views and the
+        mesh, contribution/radius maxima are max-ed — identical to running
+        the batch through sequential single-device steps.
         """
-        from ..parallel.mesh import get_shard_map, reduce_view_statistics
+        from ..parallel.mesh import (accumulate_view_stat_locals,
+                                     get_shard_map,
+                                     reduce_view_statistics_local,
+                                     view_stat_locals, zero_view_stat_locals)
 
         mesh = self._mesh
         axis = "data"
-        n_dev = mesh.shape[axis]
+        n_views = mesh.shape[axis] * self._dp_b
+        B = self._dp_b
         repl, shard = jax.sharding.PartitionSpec(), \
             jax.sharding.PartitionSpec(axis)
         C = params.capacity
 
         def per_device(params, opt, state, cameras, background, lrs, weights,
                        nearest_idx, iteration):
-            camera = jax.tree_util.tree_map(lambda x: x[0], cameras)
+            def one_view(camera):
+                def loss_fn(p, c2d):
+                    loss, aux = self._camera_loss(settings, p, c2d, state,
+                                                  camera, background, weights,
+                                                  nearest_idx)
+                    return loss / n_views, aux   # mean over the camera batch
 
-            def loss_fn(p, c2d):
-                loss, aux = self._camera_loss(settings, p, c2d, state, camera,
-                                              background, weights, nearest_idx)
-                return loss / n_dev, aux   # mean over the camera batch
+                c2d = jnp.zeros((C, 2), jnp.float32)
+                (loss, aux), grads = jax.value_and_grad(
+                    loss_fn, argnums=(0, 1), has_aux=True)(params, c2d)
+                g_params, g_c2d = grads
+                # NOTE: g_c2d is the LOCAL view's grad (pre-psum, un-meaned
+                # by * n_views) — the statistic is the per-view grad norm,
+                # not the norm of the batch-summed grad.
+                stat = view_stat_locals(
+                    aux["visible_mask"] & self._stat_gate(iteration),
+                    jnp.linalg.norm(g_c2d * n_views, axis=-1),
+                    aux["contrib_sum"], aux["contrib_max"], aux["radii"])
+                slim = dict(overflow=aux["overflow"].astype(jnp.int32),
+                            num_pairs=aux["num_pairs"],
+                            geo_loss=aux["geo_loss"],
+                            vertex_loss=aux["vertex_loss"])
+                return loss, g_params, stat, slim
 
-            c2d = jnp.zeros((C, 2), jnp.float32)
-            (loss, aux), grads = jax.value_and_grad(
-                loss_fn, argnums=(0, 1), has_aux=True)(params, c2d)
-            g_params, g_c2d = grads
+            if B == 1:
+                camera = jax.tree_util.tree_map(lambda x: x[0], cameras)
+                loss, g_params, stat, slim = one_view(camera)
+            else:
+                def body(carry, camera):
+                    loss_a, gp_a, st_a, sl_a = carry
+                    loss_i, gp_i, st_i, sl_i = one_view(camera)
+                    sl = dict(
+                        overflow=jnp.maximum(sl_a["overflow"],
+                                             sl_i["overflow"]),
+                        num_pairs=jnp.maximum(sl_a["num_pairs"],
+                                              sl_i["num_pairs"]),
+                        geo_loss=sl_a["geo_loss"] + sl_i["geo_loss"],
+                        vertex_loss=sl_a["vertex_loss"] + sl_i["vertex_loss"])
+                    return (loss_a + loss_i,
+                            jax.tree_util.tree_map(jnp.add, gp_a, gp_i),
+                            accumulate_view_stat_locals(st_a, st_i), sl), None
+
+                init = (jnp.float32(0.0),
+                        jax.tree_util.tree_map(jnp.zeros_like, params),
+                        zero_view_stat_locals(C),
+                        dict(overflow=jnp.int32(0), num_pairs=jnp.int32(0),
+                             geo_loss=jnp.float32(0.0),
+                             vertex_loss=jnp.float32(0.0)))
+                (loss, g_params, stat, slim), _ = jax.lax.scan(
+                    body, init, cameras)
+
             g_params = jax.lax.psum(g_params, axis)
             loss = jax.lax.psum(loss, axis)
             params, opt = M.adam_update(params, opt, g_params, lrs)
 
             if self._track_stats:
-                # NOTE: g_c2d here is the LOCAL camera's grad (pre-psum,
-                # un-meaned by * n_dev) — the statistic is the per-view grad
-                # norm, not the norm of the batch-summed grad.
-                state = reduce_view_statistics(
-                    state, aux["visible_mask"] & self._stat_gate(iteration),
-                    jnp.linalg.norm(g_c2d * n_dev, axis=-1),
-                    aux["contrib_sum"], aux["contrib_max"], aux["radii"],
-                    axis)
+                state = reduce_view_statistics_local(state, stat, axis)
 
             slim = dict(
-                overflow=jax.lax.pmax(
-                    aux["overflow"].astype(jnp.int32), axis) > 0,
-                num_pairs=jax.lax.pmax(aux["num_pairs"], axis),
-                geo_loss=jax.lax.psum(aux["geo_loss"], axis) / n_dev,
-                vertex_loss=jax.lax.psum(aux["vertex_loss"], axis) / n_dev)
+                overflow=jax.lax.pmax(slim["overflow"], axis) > 0,
+                num_pairs=jax.lax.pmax(slim["num_pairs"], axis),
+                geo_loss=jax.lax.psum(slim["geo_loss"], axis) / n_views,
+                vertex_loss=jax.lax.psum(slim["vertex_loss"], axis) / n_views)
             return params, opt, state, loss, slim
 
         smapped = get_shard_map()(
@@ -572,15 +611,13 @@ class VanillaTSTrainer(BaseTrainer):
         self._track_stats = (self._mu is not None and self._mu.statistic is not None)
 
         if self._dp_n > 1:
-            from ..parallel.mesh import make_mesh
-            if len(jax.devices()) < self._dp_n:
-                raise ValueError(
-                    f"trainer.data_parallel={self._dp_n} but only "
-                    f"{len(jax.devices())} devices are visible")
-            self._mesh = make_mesh(self._dp_n)
+            from ..parallel.mesh import dp_layout, make_mesh
+            n_dev, self._dp_b = dp_layout(self._dp_n)
+            self._mesh = make_mesh(n_dev)
             self.logger.info(
-                f"Camera-batch data parallelism over {self._dp_n} devices "
-                f"({self._dp_n} views per step, mean-gradient psum)")
+                f"Camera-batch data parallelism: {self._dp_n} views per "
+                f"step over {n_dev} devices ({self._dp_b} per device, "
+                "mean-gradient psum)")
 
         if cfgt.initial_eval:
             self._evaluate(first_iter)
@@ -666,25 +703,19 @@ class VanillaTSTrainer(BaseTrainer):
                 self.logger.add_scalar("Triangle Count", count, iteration)
                 self.logger.add_scalar("Training Time (min)",
                                        timer.total_duration() / 60, iteration)
-                if bool(aux["overflow"]):
-                    # adaptive pair budget: the reference reallocates its
-                    # binning buffers dynamically (rasterizer_impl resize);
-                    # we grow the static budget and pay one retrace
-                    self._ppt = min(self._ppt * 2, 32)
+                # adaptive pair budget: the reference reallocates its
+                # binning buffers dynamically (rasterizer_impl resize); we
+                # re-quantize the static budget to measured need and pay
+                # one retrace (sort/pack/scatter costs scale with it)
+                from .adc_utils import adapt_pair_budget
+                new_ppt = adapt_pair_budget(
+                    self._ppt, int(aux["num_pairs"]),
+                    int(self.state.alive.sum()), bool(aux["overflow"]))
+                if new_ppt != self._ppt:
+                    self._ppt = new_ppt
                     self.logger.warning(
-                        "pair budget overflow — growing pairs_per_triangle "
-                        f"to {self._ppt} (one-time recompile)")
-                else:
-                    # shrink when persistently oversized (sort/pack/scatter
-                    # costs scale with the budget); hysteresis via the
-                    # 30%-of-budget threshold and the log-interval cadence
-                    used = int(aux["num_pairs"])
-                    cap = max(int(self.state.alive.sum()), 1) * self._ppt
-                    if self._ppt > 2 and used < 0.3 * cap:
-                        self._ppt = max(2, self._ppt - 2)
-                        self.logger.info(
-                            f"pair budget underused ({used}/{cap}) — "
-                            f"shrinking pairs_per_triangle to {self._ppt}")
+                        "pair budget re-sized: pairs_per_triangle -> "
+                        f"{self._ppt} (one-time recompile)")
 
             if cfgt.histogram_interval_iter and iteration % cfgt.histogram_interval_iter == 0:
                 timer.log("histogram")
