@@ -35,10 +35,6 @@ def main():
 
     P = 100_000
     W = 800
-    # pairs_per_triangle=4 is what the trainers' adaptive pair budget
-    # converges to on this scene (no overflow; checked below).
-    settings = RasterSettings(image_width=W, image_height=W,
-                              pairs_per_triangle=4)
     cam = make_camera(W, W)
     s = make_random_scene(P, seed=0, size_range=(0.01, 0.05))
     v = jnp.asarray(s["vertex"])
@@ -46,18 +42,36 @@ def main():
     c = jnp.asarray(s["rgb"])
     target = jnp.zeros((3, W, W))
 
-    @jax.jit
-    def fwd_bwd(vertex, opacity, rgb):
-        def loss_fn(vertex, opacity, rgb):
-            out = rasterize(vertex, opacity, None, cam, settings, gamma=1.0,
-                            background=jnp.ones(3), bg_depth=10.0, colors=rgb)
-            return jnp.abs(out["render"] - target).mean(), out["overflow"]
-        (_, ov), g = jax.value_and_grad(loss_fn, argnums=(0, 1, 2),
-                                        has_aux=True)(vertex, opacity, rgb)
-        return g, ov
+    def make_step(settings):
+        @jax.jit
+        def fwd_bwd(vertex, opacity, rgb):
+            def loss_fn(vertex, opacity, rgb):
+                out = rasterize(vertex, opacity, None, cam, settings,
+                                gamma=1.0, background=jnp.ones(3),
+                                bg_depth=10.0, colors=rgb)
+                return jnp.abs(out["render"] - target).mean(), \
+                    (out["overflow"], out["num_pairs"])
+            (_, aux), g = jax.value_and_grad(loss_fn, argnums=(0, 1, 2),
+                                             has_aux=True)(vertex, opacity, rgb)
+            return g, aux
+        return fwd_bwd
 
-    # warmup/compile; verify the pair budget holds
-    g, overflow = jax.block_until_ready(fwd_bwd(v, o, c))
+    # Size the pair budget to measured need, exactly like the trainers do
+    # (adc_utils.adapt_pair_budget) and like the reference's binning buffers
+    # (reallocated to the exact pair count every frame): probe one frame at
+    # a roomy budget, then re-quantize. Sort/pack/scatter costs scale with
+    # the budget, so benching an oversized buffer would measure padding.
+    from triangle_splatting_tpu.trainers.adc_utils import adapt_pair_budget
+    probe = make_step(RasterSettings(image_width=W, image_height=W,
+                                     pairs_per_triangle=6))
+    _, (overflow, num_pairs) = jax.block_until_ready(probe(v, o, c))
+    assert not bool(overflow), "probe pair budget overflow"
+    ppt = adapt_pair_budget(6.0, int(num_pairs), P, False)
+    fwd_bwd = make_step(RasterSettings(image_width=W, image_height=W,
+                                       pairs_per_triangle=ppt))
+
+    # warmup/compile; verify the sized budget holds
+    g, (overflow, _) = jax.block_until_ready(fwd_bwd(v, o, c))
     assert not bool(overflow), "pair budget overflow — raise pairs_per_triangle"
     n = 20
     t0 = time.time()

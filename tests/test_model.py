@@ -325,3 +325,30 @@ class TestAdamLrGroups:
             M.adam_update(params, opt, g, {k: np.float32(0.01) for k in
                                            ("vertex", "opacity", "f_dc",
                                             "f_rest")})
+
+
+class TestAdaptPairBudget:
+    """Need-based pair-budget quantization (adc_utils.adapt_pair_budget) —
+    the static-XLA stand-in for the reference's exact binning reallocation
+    (diff-triangle-rasterization-2D rasterizer_impl resize-on-demand)."""
+
+    def test_overflow_doubles_capped(self):
+        from triangle_splatting_tpu.trainers.adc_utils import adapt_pair_budget
+        assert adapt_pair_budget(4.0, 100, 100, True) == 8.0
+        assert adapt_pair_budget(20.0, 100, 100, True) == 32.0
+        assert adapt_pair_budget(32.0, 100, 100, True) == 32.0
+
+    def test_shrinks_to_need_with_margin(self):
+        from triangle_splatting_tpu.trainers.adc_utils import adapt_pair_budget
+        # 270k pairs over 100k primitives: need = 1.3 * 2.7 = 3.51 -> 3.5
+        assert adapt_pair_budget(6.0, 270_000, 100_000, False) == 3.5
+
+    def test_hysteresis_no_small_shrinks(self):
+        from triangle_splatting_tpu.trainers.adc_utils import adapt_pair_budget
+        # need 3.5 is NOT < 0.75 * 4.0 -> keep the current budget
+        assert adapt_pair_budget(4.0, 270_000, 100_000, False) == 4.0
+
+    def test_floor_and_none_used(self):
+        from triangle_splatting_tpu.trainers.adc_utils import adapt_pair_budget
+        assert adapt_pair_budget(6.0, 10, 100_000, False) == 2.0
+        assert adapt_pair_budget(6.0, None, 100_000, False) == 6.0

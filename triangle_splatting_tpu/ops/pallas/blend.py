@@ -660,10 +660,16 @@ def _bwd_kernel(
             # T_excl[s] = T_back * prod_{k>=s} 1/(1-a_k) — an in-register
             # suffix product (log2(S) shifted multiplies) + one reciprocal,
             # dropping the log/exp pair of the former exp(-U@log) MXU form.
-            R_rev = 1.0 / _suffix_prod(one_m)                  # (S, NPIX)
+            P_sfx = _suffix_prod(one_m)                        # (S, NPIX)
+            R_rev = 1.0 / P_sfx
             T_back = carry_ref[1:2, :]
             T_excl = T_back * R_rev
             contrib = alpha * T_excl
+            # 1/(1-a_s) = P_sfx[s+1] / P_sfx[s]: a shifted multiply against
+            # the reciprocal already in hand, not a second full-array divide.
+            inv1m = R_rev * jnp.concatenate(
+                [P_sfx[1:], jnp.ones((1,) + P_sfx.shape[1:], P_sfx.dtype)],
+                axis=0)
 
             if variant == "GS":
                 gdot = (_fld(buf_t, 7) * g_col[0:1] + _fld(buf_t, 8) * g_col[1:2]
@@ -695,7 +701,6 @@ def _bwd_kernel(
             A = carry_ref[0:1, :] + jnp.dot(
                 U_strict.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32)         # (S, NPIX)
-            inv1m = 1.0 / one_m
             dL_da = jnp.where(ok, T_excl * gdot - A * inv1m, 0.0)
 
             not_clamped = alpha_un < ALPHA_MAX

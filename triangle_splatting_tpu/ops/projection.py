@@ -66,9 +66,10 @@ class RasterSettings:
     rich_info: bool = field(metadata=dict(static=True), default=True)
     max_sh_degree: int = field(metadata=dict(static=True), default=3)
     rasterizer_type: str = field(metadata=dict(static=True), default="2D")
-    # Pair budget for tile binning, as a multiple of the triangle count.
-    # Binning reports overflow; trainers grow the budget adaptively.
-    pairs_per_triangle: int = field(metadata=dict(static=True), default=6)
+    # Pair budget for tile binning, as a multiple of the triangle count
+    # (fractional budgets allowed — the need-based adaptation quantizes in
+    # eighths). Binning reports overflow; trainers re-size adaptively.
+    pairs_per_triangle: float = field(metadata=dict(static=True), default=6)
 
     @property
     def grid_w(self) -> int:

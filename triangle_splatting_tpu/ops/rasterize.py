@@ -115,6 +115,15 @@ def pack_pair_fields(field_matrix: jnp.ndarray, binning: Binning) -> jnp.ndarray
     TPU gathers cost ~10ms/M rows regardless of row width, so packing does a
     single (MA, 16) gather instead of 17 per-column gathers (~5x cheaper);
     its AD transpose is likewise a single scatter-add.
+
+    NEGATIVE RESULT (measured twice, r2): replacing the scatter-add
+    transpose with a sort-by-triangle + cumsum + boundary-gather segment
+    reduction (sort (seg, iota) then row-gather, or 17-payload sort) is
+    SLOWER end to end — 38.7 / 38.2 ms vs 37.1 baseline. The replacement's
+    fusions price ~8.8 ms vs the 6.15 ms scatter: XLA's row gather is as
+    latency-bound as its scatter (~3.2 ms per 480k rows), and the (MA, 16)
+    cumsum adds two more full passes. Fixing this for real means a Pallas
+    streaming kernel over monotone indices, not XLA op substitution.
     """
     rows = field_matrix[jnp.maximum(binning.pair_tri, 0)]    # (MA, 16)
     rows = jnp.where(binning.pair_valid[:, None], rows, 0.0)
@@ -216,7 +225,7 @@ def rasterize(vertex: jnp.ndarray, opacity: jnp.ndarray,
                     overflow=jnp.asarray(False), num_pairs=jnp.int32(0))
 
     if max_pairs is None:
-        max_pairs = _round_up(settings.pairs_per_triangle * P, SLAB)
+        max_pairs = _round_up(int(settings.pairs_per_triangle * P), SLAB)
 
     # Pallas TPU kernels only run interpreted on the CPU backend (tests,
     # virtual multi-chip meshes) — switch automatically.
@@ -312,7 +321,7 @@ def rasterize_gaussian(xyz: jnp.ndarray, scale: jnp.ndarray,
                     overflow=jnp.asarray(False), num_pairs=jnp.int32(0))
 
     if max_pairs is None:
-        max_pairs = _round_up(settings.pairs_per_triangle * P, SLAB)
+        max_pairs = _round_up(int(settings.pairs_per_triangle * P), SLAB)
     if not interpret and jax.default_backend() == "cpu":
         interpret = True
 
