@@ -80,7 +80,9 @@ TYPE_ALIASES = {
 }
 
 
-def main():
+def parse_args(argv=None):
+    """CLI parsing incl. short --type alias resolution (the reference's
+    spellings, run_experiments.py:99-110)."""
     parser = argparse.ArgumentParser()
     parser.add_argument("--type", required=True, choices=[
         "NerfSynthetic_VanillaTS", "NerfSynthetic_VanillaTS_mesh",
@@ -92,9 +94,13 @@ def main():
     parser.add_argument("--dataset_path", required=True)
     parser.add_argument("--scenes", nargs="*", default=None)
     parser.add_argument("--num_workers", type=int, default=1)
-    args = parser.parse_args()
+    args = parser.parse_args(argv)
     args.type = TYPE_ALIASES.get(args.type, args.type)
+    return args
 
+
+def main():
+    args = parse_args()
     jobs = build_jobs(args)
     from triangle_splatting_tpu.utils.pipeline_utils import run_exp_with_args
     run_exp_with_args(exp, jobs, num_workers=args.num_workers)

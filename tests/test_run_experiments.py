@@ -2,6 +2,8 @@
 
 import argparse
 
+import pytest
+
 import run_experiments as RE
 
 
@@ -50,9 +52,15 @@ class TestBuildJobs:
 
     def test_reference_type_aliases(self):
         """The reference's short --type spellings (run_experiments.py:99-110)
-        resolve to the same presets."""
+        resolve through the REAL argparse path to the same presets."""
         for short, full in RE.TYPE_ALIASES.items():
-            a = RE.build_jobs(_args(type=full, dataset_path="/d"))
-            b = RE.build_jobs(_args(type=RE.TYPE_ALIASES.get(short, short),
-                                    dataset_path="/d"))
-            assert a == b
+            args_short = RE.parse_args(["--type", short,
+                                        "--dataset_path", "/d"])
+            assert args_short.type == full
+            args_full = RE.parse_args(["--type", full,
+                                       "--dataset_path", "/d"])
+            assert RE.build_jobs(args_short) == RE.build_jobs(args_full)
+
+    def test_unknown_type_rejected(self):
+        with pytest.raises(SystemExit):
+            RE.parse_args(["--type", "NotAPreset", "--dataset_path", "/d"])

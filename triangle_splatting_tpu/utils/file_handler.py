@@ -304,9 +304,29 @@ class MirrorHandler(BaseFileHandler):
             self._lock_refreshed = time.time()
             import atexit
             atexit.register(self.release_upload_lock)
+            self._start_lock_heartbeat()
             return True
         except Exception:
             return False
+
+    def _start_lock_heartbeat(self) -> None:
+        """Background re-stamp so a live run whose gap between uploads
+        exceeds LOCK_STALE_S (long eval, slow iteration band) is never
+        treated as stale and demoted mid-run — without this, the heartbeat
+        only fired inside putFile."""
+        import threading
+
+        def beat():
+            while getattr(self, "_can_upload", True) is not False:
+                time.sleep(self.LOCK_STALE_S / 4)
+                if getattr(self, "_can_upload", False) is not True:
+                    break
+                self._maybe_refresh_lock()
+
+        t = threading.Thread(target=beat, daemon=True,
+                             name="upload-lock-heartbeat")
+        t.start()
+        self._heartbeat_thread = t
 
     def release_upload_lock(self) -> None:
         """Drop the remote upload lock if still OURS (idempotent; a broken
@@ -332,7 +352,13 @@ class MirrorHandler(BaseFileHandler):
             return True
         try:
             token, _ = self._read_lock_meta("upload.lock")
-            if token is not None and token != getattr(self, "_lock_token", None):
+            if token is None:
+                # Unreadable meta: consistent with _acquire_upload_lock,
+                # never act on a failed read — if the lock was broken and
+                # taken over, re-stamping here would steal it back and put
+                # two uploaders on one root. Retry at the next heartbeat.
+                return True
+            if token != getattr(self, "_lock_token", None):
                 self._can_upload = False          # lost the election
                 self._warn("upload.lock now belongs to another process; "
                            "this handler is demoted to read-only — remote "
