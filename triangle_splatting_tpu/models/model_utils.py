@@ -87,22 +87,38 @@ def get_color_tensor(background: str, rng: np.random.Generator | None = None) ->
     raise ValueError(f"Unknown background: {background}")
 
 
+def _flat_voxel_keys(points: np.ndarray, grid_size: float) -> np.ndarray:
+    """1-D int64 voxel key per point (same quantization as the reference's
+    row-wise ``np.unique(voxel, axis=0)`` — floor(points / grid) with the
+    world origin, only the key encoding differs). Falls back to packed-byte
+    record keys when the grid is so fine the 3-axis mixed radix would
+    overflow int64 (a 1-D unique is ~8x a row-wise unique at 20M points,
+    which matters: MatrixCity inits from ~20M-point clouds)."""
+    voxel = np.floor(points / grid_size).astype(np.int64)
+    key = voxel - voxel.min(axis=0)
+    dims = key.max(axis=0) + 1
+    if float(dims[0]) * float(dims[1]) * float(dims[2]) < 2.0**62:
+        return (key[:, 0] * dims[1] + key[:, 1]) * dims[2] + key[:, 2]
+    rec = np.ascontiguousarray(key)
+    return rec.view([("", rec.dtype)] * 3).ravel()
+
+
 def grid_sampling(points: np.ndarray, colors: np.ndarray, normals: np.ndarray,
                   grid_size: float):
-    """Voxel-average downsampling (reference models/model_utils.py:97-121)."""
-    voxel = np.floor(points / grid_size).astype(np.int64)
-    # Unique voxel ids via lexicographic hashing.
-    key = (voxel - voxel.min(axis=0)).astype(np.uint64)
-    dims = key.max(axis=0) + 1
-    flat = (key[:, 0] * dims[1] + key[:, 1]) * dims[2] + key[:, 2]
-    uniq, inverse = np.unique(flat, return_inverse=True)
+    """Voxel-average downsampling (reference models/model_utils.py:97-121).
+
+    Per-voxel means via ``np.bincount(inverse, weights=...)`` — C-speed
+    column sums; the previous ``np.add.at`` fancy-index path is ~20x
+    slower at MatrixCity scale (20M points)."""
+    uniq, inverse = np.unique(_flat_voxel_keys(points, grid_size),
+                              return_inverse=True)
     m = uniq.shape[0]
+    counts = np.bincount(inverse, minlength=m).astype(np.float64)
 
     def scatter_mean(x):
-        out = np.zeros((m, x.shape[1]), np.float64)
-        np.add.at(out, inverse, x)
-        counts = np.bincount(inverse, minlength=m)[:, None]
-        return (out / counts).astype(np.float32)
+        cols = [np.bincount(inverse, weights=x[:, j], minlength=m)
+                for j in range(x.shape[1])]
+        return (np.stack(cols, axis=1) / counts[:, None]).astype(np.float32)
 
     return scatter_mean(points), scatter_mean(colors), scatter_mean(normals)
 
@@ -110,12 +126,13 @@ def grid_sampling(points: np.ndarray, colors: np.ndarray, normals: np.ndarray,
 def grid_size_search(points: np.ndarray, n_sample: int,
                      tolerance: float = 0.1, max_iter: int = 30) -> float:
     """Binary-search the voxel size that yields ~n_sample voxels ±10%
-    (reference models/model_utils.py:123-153)."""
+    (reference models/model_utils.py:123-153; counts via the 1-D key
+    encoding of ``_flat_voxel_keys`` instead of a row-wise unique — same
+    counts, ~8x faster per probe at 20M points)."""
     lo, hi = 1e-6, float(np.ptp(points, axis=0).max())
     for _ in range(max_iter):
         mid = (lo + hi) / 2
-        voxel = np.floor(points / mid).astype(np.int64)
-        count = np.unique(voxel, axis=0).shape[0]
+        count = np.unique(_flat_voxel_keys(points, mid)).shape[0]
         if abs(count - n_sample) <= tolerance * n_sample:
             return mid
         if count > n_sample:
