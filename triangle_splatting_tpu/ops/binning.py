@@ -83,22 +83,9 @@ def quantize_depth(depth: jnp.ndarray, valid: jnp.ndarray, bits: int):
     return jnp.clip(q, 0, maxq).astype(jnp.int32)
 
 
-def _segment_carry(markers: jnp.ndarray, is_set: jnp.ndarray):
-    """Per-element value of the most recent 'set' marker (inclusive).
-
-    Associative 'last set wins' scan — replaces an MA-sized table gather
-    (scans are ~4x cheaper than gathers on TPU).
-    """
-    def combine(a, b):
-        av, af = a
-        bv, bf = b
-        return jnp.where(bf, bv, av), af | bf
-    vals, _ = jax.lax.associative_scan(combine, (markers, is_set))
-    return vals
-
-
 def bin_triangles(prep: Preprocessed, settings: RasterSettings,
-                  max_pairs: int, align: int = 128) -> Binning:
+                  max_pairs: int, align: int = 128,
+                  interpret: bool = False) -> Binning:
     """Expand triangles into depth-sorted per-tile pair lists."""
     P = prep.depth.shape[0]
     grid_w = settings.grid_w
@@ -146,35 +133,23 @@ def bin_triangles(prep: Preprocessed, settings: RasterSettings,
     key = (tile_id << dbits) | jnp.where(valid, row[:, 4], 0)
     sorted_key, sorted_tri = jax.lax.sort((key, tri_safe), num_keys=1,
                                           is_stable=True)
-    sorted_tile = sorted_key >> dbits
-    sorted_valid = sorted_tile < num_tiles
 
     # Per-tile ranges via binary search on the sorted keys.
     boundaries = jnp.arange(num_tiles + 1, dtype=jnp.int32) << dbits
     raw_starts = jnp.searchsorted(sorted_key, boundaries, side="left").astype(jnp.int32)
     tile_counts = raw_starts[1:] - raw_starts[:-1]           # (num_tiles,)
 
-    # Re-lay pairs so every tile's range starts on an ``align`` boundary.
-    # The per-pair shift (astart - rawstart of its tile) is distributed by a
-    # tiny scatter at tile boundaries + a segment-carry scan (no MA gather).
+    # Re-lay pairs so every tile's range starts on an ``align`` boundary —
+    # a monotone per-tile-shift stream, done by the windowed Pallas kernel
+    # (the XLA scatter equivalent measured 2.34 ms @480k pairs; see
+    # pallas/streams.py and PERF.md).
+    from .pallas.streams import relayout_pairs
     ma = aligned_capacity(max_pairs, num_tiles, align)
     padded = ((tile_counts + align - 1) // align) * align
     astarts = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                                jnp.cumsum(padded).astype(jnp.int32)])
-    delta_per_tile = astarts[:-1] - raw_starts[:-1]          # (num_tiles,)
-    # Only non-empty tiles have unique raw_starts; empty tiles would stomp
-    # a sharing tile's marker, so drop them from the scatter.
-    start_idx = jnp.where(tile_counts > 0, raw_starts[:-1], max_pairs)
-    delta_markers = jnp.zeros((max_pairs,), jnp.int32).at[start_idx].set(
-        delta_per_tile, mode="drop")
-    is_start = jnp.zeros((max_pairs,), bool).at[start_idx].set(
-        True, mode="drop")
-    delta = _segment_carry(delta_markers, is_start)
-
-    new_pos = jnp.where(sorted_valid,
-                        jnp.arange(max_pairs, dtype=jnp.int32) + delta, ma)
-    pair_tri = jnp.full((ma,), -1, jnp.int32).at[new_pos].set(
-        sorted_tri, mode="drop")
+    pair_tri = relayout_pairs(sorted_tri, raw_starts, astarts, tile_counts,
+                              ma, interpret=interpret)
 
     return Binning(pair_tri=pair_tri, pair_valid=pair_tri >= 0,
                    tile_starts=astarts, tile_counts=tile_counts,

@@ -233,7 +233,8 @@ def rasterize(vertex: jnp.ndarray, opacity: jnp.ndarray,
         interpret = True
 
     prep_ng = jax.tree_util.tree_map(jax.lax.stop_gradient, prep)
-    binning = bin_triangles(prep_ng, settings, max_pairs, align=SLAB)
+    binning = bin_triangles(prep_ng, settings, max_pairs, align=SLAB,
+                            interpret=interpret)
 
     if variant == "2D":
         fmat = triangle_field_matrix(prep, opac1)
@@ -326,7 +327,8 @@ def rasterize_gaussian(xyz: jnp.ndarray, scale: jnp.ndarray,
         interpret = True
 
     prep_ng = jax.tree_util.tree_map(jax.lax.stop_gradient, prep)
-    binning = bin_triangles(prep_ng, settings, max_pairs, align=SLAB)
+    binning = bin_triangles(prep_ng, settings, max_pairs, align=SLAB,
+                            interpret=interpret)
 
     fields = pack_pair_fields(gaussian_field_matrix(prep, opac1), binning)
     params = jnp.concatenate([gamma[None], background, bg_depth[None],
