@@ -5,7 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from triangle_splatting_tpu.ops.pallas.streams import relayout_pairs
+from triangle_splatting_tpu.ops.pallas.streams import (relayout_pairs,
+                                                       segment_reduce_pairs)
 
 
 def xla_reference(sorted_tri, raw_starts, astarts, tile_counts, ma):
@@ -83,3 +84,116 @@ class TestRelayoutPairs:
         got = f(jnp.asarray(sorted_tri))
         want = xla_reference(sorted_tri, raw, ast, counts, ma)
         np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def segment_reference(data, starts, ends):
+    P = starts.shape[0]
+    out = np.zeros((16, P), np.float32)
+    for t in range(P):
+        out[:, t] = data[:, starts[t]:ends[t]].sum(axis=1)
+    return out
+
+
+class TestSegmentReducePairs:
+    def _run(self, data, starts, ends):
+        return np.asarray(segment_reduce_pairs(
+            [jnp.asarray(r) for r in data],
+            jnp.asarray(starts, jnp.int32), jnp.asarray(ends, jnp.int32),
+            interpret=True))
+
+    @pytest.mark.parametrize("seed,M,P,maxlen", [
+        (0, 128 * 37, 700, 12),        # typical: ~3.5 pairs/segment
+        (1, 128 * 8, 2000, 1),         # many empty + length-1 segments
+        (2, 128 * 64, 9, 2000),        # few giant segments (multi-window)
+        (3, 128, 1, 128),              # single segment spanning everything
+    ])
+    def test_matches_reference(self, seed, M, P, maxlen):
+        rng = np.random.default_rng(seed)
+        counts = rng.integers(0, maxlen + 1, P)
+        offs = np.minimum(np.concatenate([[0], np.cumsum(counts)]), M)
+        starts, ends = offs[:-1], offs[1:]
+        data = rng.normal(size=(16, M)).astype(np.float32)
+        got = self._run(data, starts, ends)
+        want = segment_reference(data, starts, ends)
+        np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-5)
+
+    def test_all_empty(self):
+        M, P = 256, 100
+        data = np.ones((16, M), np.float32)
+        starts = ends = np.full((P,), M, np.int32)
+        assert (self._run(data, starts, ends) == 0).all()
+
+    def test_nan_tail_masked_by_nvalid(self):
+        """Garbage (NaN) columns at/after nvalid inside a DMA'd window must
+        not leak into segment sums (the blend backward's invalid-slot
+        cotangents are NaN; 0 * NaN = NaN through a plain one-hot matmul)."""
+        M, P, nvalid = 128 * 4, 64, 100
+        rng = np.random.default_rng(1)
+        data = rng.normal(size=(16, M)).astype(np.float32)
+        data[:, nvalid:] = np.nan
+        counts = np.full(P, 2)
+        offs = np.minimum(np.concatenate([[0], np.cumsum(counts)]), nvalid)
+        starts, ends = offs[:-1].astype(np.int32), offs[1:].astype(np.int32)
+        got = np.asarray(segment_reduce_pairs(
+            [jnp.asarray(r) for r in data], jnp.asarray(starts),
+            jnp.asarray(ends), nvalid=jnp.int32(nvalid), interpret=True))
+        clean = np.where(np.isnan(data), 0.0, data)
+        want = segment_reference(clean, starts, ends)
+        assert np.isfinite(got).all()
+        np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-5)
+
+    def test_block_boundary_segment(self):
+        """A segment crossing the 512-triangle output block boundary's
+        source window (block 1 starts mid-way into the stream)."""
+        rng = np.random.default_rng(7)
+        M, P = 128 * 16, 600
+        counts = np.zeros(P, np.int64)
+        counts[500] = 900            # one fat segment near the block edge
+        counts[510:560] = 20
+        offs = np.minimum(np.concatenate([[0], np.cumsum(counts)]), M)
+        starts, ends = offs[:-1], offs[1:]
+        data = rng.normal(size=(16, M)).astype(np.float32)
+        np.testing.assert_allclose(self._run(data, starts, ends),
+                                   segment_reference(data, starts, ends),
+                                   rtol=2e-6, atol=2e-5)
+
+
+class TestPackBackward:
+    def test_pack_vjp_matches_scatter_add(self):
+        """The sort + segment-reduce backward equals the plain scatter-add
+        transpose of the pack gather."""
+        import jax.numpy as jnp
+        from triangle_splatting_tpu.ops.binning import bin_triangles
+        from triangle_splatting_tpu.ops.projection import (RasterSettings,
+                                                           preprocess_2d)
+        from triangle_splatting_tpu.ops.rasterize import (pack_pair_fields,
+                                                          triangle_field_matrix)
+        from triangle_splatting_tpu.utils.testing import (make_camera,
+                                                          make_random_scene)
+        P = 300
+        settings = RasterSettings(image_width=160, image_height=96)
+        cam = make_camera(160, 96, 60.0)
+        s = make_random_scene(P, seed=11)
+        prep = preprocess_2d(jnp.asarray(s["vertex"]), jnp.zeros((P, 2)),
+                             jnp.asarray(s["rgb"]), cam.world_view,
+                             cam.full_proj, cam.tan_fovx, cam.tan_fovy,
+                             settings)
+        binning = bin_triangles(prep, settings, max_pairs=128 * 24,
+                                interpret=True)
+        fmat = triangle_field_matrix(prep, jnp.asarray(s["opacity"])[:, 0]
+                                     if np.asarray(s["opacity"]).ndim == 2
+                                     else jnp.asarray(s["opacity"]))
+        rng = np.random.default_rng(3)
+        ct = jnp.asarray(rng.normal(size=(16, binning.pair_tri.shape[0]))
+                         .astype(np.float32))
+
+        _, vjp = jax.vjp(
+            lambda f: pack_pair_fields(f, binning, True), fmat)
+        got = np.asarray(vjp(ct)[0])
+
+        # Reference: explicit transpose of [gather; mask; transpose].
+        d_rows = np.where(np.asarray(binning.pair_valid)[:, None],
+                          np.asarray(ct).T, 0.0)
+        want = np.zeros((P, 16), np.float32)
+        np.add.at(want, np.maximum(np.asarray(binning.pair_tri), 0), d_rows)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)

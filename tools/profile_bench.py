@@ -46,6 +46,9 @@ def run_workload(trace_dir: str, frames: int) -> float:
                                         has_aux=True)(vertex, opacity, rgb)
         return g, ov
 
+    compiled = fwd_bwd.lower(v, o, c).compile()
+    with open(os.path.join("/tmp", "profile_hlo.txt"), "w") as f:
+        f.write(compiled.as_text())
     g = jax.block_until_ready(fwd_bwd(v, o, c))     # compile
     jax.profiler.start_trace(trace_dir)
     t0 = time.time()
@@ -129,9 +132,29 @@ def main():
     for bname, ns in sorted(bucket_ns.items(), key=lambda kv: -kv[1]):
         print(f"{ns / 1e6 / args.frames:8.3f}  {bname}")
 
+    # Source mapping from the compiled text written by run_workload —
+    # names only transfer within one process/compile.
+    srcmap = {}
+    try:
+        import re as _re
+        for line in open("/tmp/profile_hlo.txt"):
+            m = _re.search(r"%([\w.]+) = ", line)
+            if not m:
+                continue
+            op = _re.search(r'op_name="([^"]+)"', line)
+            sl = _re.search(r'source_file="([^"]+)" source_line=(\d+)', line)
+            tag = ""
+            if op:
+                tag += op.group(1)[-58:]
+            if sl:
+                tag += " " + sl.group(1).split("/")[-1] + ":" + sl.group(2)
+            srcmap[m.group(1)] = tag
+    except OSError:
+        pass
+
     print(f"\n=== top {args.top} ops (ms/frame) ===")
     for name, ns in sorted(op_ns.items(), key=lambda kv: -kv[1])[:args.top]:
-        print(f"{ns / 1e6 / args.frames:8.3f}  {name[:110]}")
+        print(f"{ns / 1e6 / args.frames:8.3f}  {name[:40]:42s} {srcmap.get(name, '')[:90]}")
 
 
 if __name__ == "__main__":

@@ -51,6 +51,17 @@ class Binning:
     """
     pair_tri: jax.Array       # (ma,) int32 — triangle id per slot, -1 if empty
     pair_valid: jax.Array     # (ma,) bool
+    tri_offsets: jax.Array    # (P + 1,) int32 — exclusive cumsum of
+    #                           tiles_touched. The pack backward sorts the
+    #                           pair-gradient columns by owning triangle;
+    #                           triangle t's pairs then occupy exactly
+    #                           [tri_offsets[t], tri_offsets[t+1]) (any
+    #                           within-triangle order — the segment sum
+    #                           doesn't care). Exact even under overflow:
+    #                           the budget clip drops a SUFFIX of the raw
+    #                           stream, which min(tri_offsets, num_pairs)
+    #                           encodes exactly (verified on-chip vs the
+    #                           scatter-add transpose, tools/pack_bwd_parity.py).
     tile_starts: jax.Array    # (num_tiles + 1,) int32, align-multiples
     tile_counts: jax.Array    # (num_tiles,) int32 — real pairs per tile
     num_pairs: jax.Array      # () int32 — pairs actually binned (<= max_pairs)
@@ -151,6 +162,8 @@ def bin_triangles(prep: Preprocessed, settings: RasterSettings,
     pair_tri = relayout_pairs(sorted_tri, raw_starts, astarts, tile_counts,
                               ma, interpret=interpret)
 
+    tri_offsets = jnp.concatenate([offsets, (offsets[-1:] + counts[-1:])])
     return Binning(pair_tri=pair_tri, pair_valid=pair_tri >= 0,
+                   tri_offsets=tri_offsets,
                    tile_starts=astarts, tile_counts=tile_counts,
                    num_pairs=num_pairs.astype(jnp.int32), overflow=overflow)

@@ -9,10 +9,21 @@ as the output cursor, so a fixed-size source window DMA'd per slab covers
 every output chunk, and within a chunk the map is a constant shift
 (realized as a dynamic lane rotate + row select, no per-element gather).
 
-First kernel: ``relayout_pairs`` — the tile-aligned re-layout of the
-sorted pair stream (binning.py), replacing an XLA scatter measured at
-2.0-2.3 ms @480k pairs. The map out[astart[t] + j] = src[rawstart[t] + j]
-has per-tile constant shift delta[t] = astart[t] - rawstart[t] >= 0,
+Kernels:
+
+``relayout_pairs`` — the tile-aligned re-layout of the sorted pair stream
+(binning.py), replacing an XLA scatter measured at 2.0-2.3 ms @480k pairs.
+
+``segment_reduce_pairs`` — contiguous-segment row reduction for the
+pack-gather backward (rasterize.py): after the per-pair gradient columns
+are sorted by owning triangle (so triangle t's pairs occupy exactly
+[tri_offsets[t], tri_offsets[t+1])), sums each triangle's columns into one
+output column. Replaces the XLA (MA,16)->(P,16) scatter-add measured at
+6.15 ms @480k pairs (whole backward path: sort 2.9 + kernel, nets -2.2 ms
+end to end).
+
+relayout map detail: out[astart[t] + j] = src[rawstart[t] + j] has
+per-tile constant shift delta[t] = astart[t] - rawstart[t] >= 0,
 nondecreasing in t, so source positions within a 16-chunk (2048-pair)
 output slab span <= 2048 positions. The source window is DMA'd manually
 (``make_async_copy`` from an ANY-space ref) because its start is
@@ -133,3 +144,134 @@ def relayout_pairs(sorted_tri: jax.Array, raw_starts: jax.Array,
         interpret=interpret,
     )(chunk_src, chunk_vcnt, slab_row, src2d)
     return out.reshape(-1)[:ma]
+
+
+# ---------------------------------------------------------------------------
+# segment_reduce_pairs — contiguous-segment column reduction (pack backward)
+# ---------------------------------------------------------------------------
+
+SEG_TB = 1024      # output triangles (columns) per grid step
+SEG_WR = 16        # window rows of 128 pairs each per inner DMA (2048 pairs)
+
+
+def _segment_reduce_kernel(blk_row0, blk_nwin, nvalid,   # scalar prefetch
+                           starts, ends,                 # (1,1,TB) VMEM blocks
+                           src_hbm,                      # (R, 16, 128) ANY
+                           out_ref,                      # (16, TB) out block
+                           win, sem):                    # VMEM scratch + DMA
+    i = pl.program_id(0)
+    r0 = blk_row0[i]
+    s = starts[0]                               # (1, SEG_TB)
+    e = ends[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (LANE, 1), 0)
+    lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+
+    def body(w, acc):
+        row = r0 + w * SEG_WR
+        cp = pltpu.make_async_copy(src_hbm.at[pl.ds(row, SEG_WR)], win, sem)
+        cp.start()
+        cp.wait()
+        for r in range(SEG_WR):
+            pos = (row + r) * LANE + lane                 # (128, 1) int32
+            oh = ((pos >= s) & (pos < e)).astype(jnp.float32)   # (128, TB)
+            # Columns at/after nvalid may hold garbage (even NaN: the blend
+            # backward's invalid-slot cotangents) — 0 * NaN = NaN would leak
+            # through the one-hot matmul, so zero them on the value side
+            # with a SELECT (a multiply would itself propagate NaN).
+            ok = ((row + r) * LANE + lane_row) < nvalid[0]     # (1, 128)
+            acc = acc + jax.lax.dot_general(
+                jnp.where(ok, win[r], 0.0), oh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+        return acc
+
+    out_ref[:, :] = jax.lax.fori_loop(
+        0, blk_nwin[i], body, jnp.zeros((16, SEG_TB), jnp.float32))
+
+
+def segment_reduce_pairs(cols, starts: jax.Array, ends: jax.Array,
+                         *, nvalid: jax.Array | None = None,
+                         interpret: bool = False) -> jax.Array:
+    """Sum contiguous column segments of a (16, M) stream into (16, P).
+
+    Used by the pack-gather backward: after the per-pair gradient columns
+    are sorted by owning triangle, triangle t owns the contiguous column
+    range [starts[t], ends[t]) and its gradient is the sum of those
+    columns. starts/ends are nondecreasing (segments are sorted and
+    disjoint); empty segments yield zero columns.
+
+    Per output block of SEG_TB triangles the source span [starts[t0],
+    ends[t0+TB-1]) is covered by a dynamic number of SEG_WR-row windows
+    (avg pairs/triangle ~3.5 so usually one); each window row contributes
+    via one (16,128)x(128,TB) MXU accumulation whose right operand is the
+    exact 0/1 segment-membership mask built from starts/ends — no
+    per-element gather or scatter anywhere.
+
+    Args:
+        cols: list of 16 (M,) float32 arrays (the field rows), M % 128 == 0.
+        starts: (P,) int32 segment starts into the M axis.
+        ends: (P,) int32 segment ends; starts <= ends, both nondecreasing.
+        nvalid: () int32 — columns at/after this index are treated as zero
+            even when covered by a window (they may hold garbage/NaN).
+            Defaults to M (all columns trusted). Columns in gaps BETWEEN
+            segments below nvalid must be finite (they are masked by the
+            one-hot weight, which does not stop NaN).
+    Returns:
+        (16, P) float32 segment sums.
+    """
+    assert len(cols) == 16
+    m = cols[0].shape[0]
+    p = starts.shape[0]
+    assert m % LANE == 0
+    rows_src = m // LANE
+    r_pad = rows_src + SEG_WR
+    p_pad = _round_up(max(p, SEG_TB), SEG_TB)
+    n_blocks = p_pad // SEG_TB
+
+    zpad = jnp.zeros((SEG_WR * LANE,), jnp.float32)
+    src = jnp.stack(
+        [jnp.concatenate([c, zpad]).reshape(r_pad, LANE) for c in cols],
+        axis=1)                                          # (R, 16, 128)
+
+    # (n_blocks, 1, SEG_TB) layout: a plain 1-D s32[p_pad] operand trips
+    # Mosaic's layout verifier (XLA tiles large 1-D int arrays T(1024) while
+    # a (SEG_TB,) block implies T(SEG_TB)), and a (n_blocks, SEG_TB) array
+    # with (1, SEG_TB) blocks trips the sublane-divisibility rule (1 % 8).
+    # With an explicit singleton second-minor dim the block's last two dims
+    # (1, SEG_TB) equal/divide the array's — always verifiable.
+    sp = jnp.concatenate(
+        [starts, jnp.full((p_pad - p,), m, jnp.int32)]).astype(
+            jnp.int32).reshape(n_blocks, 1, SEG_TB)
+    ep = jnp.concatenate(
+        [ends, jnp.full((p_pad - p,), m, jnp.int32)]).astype(
+            jnp.int32).reshape(n_blocks, 1, SEG_TB)
+
+    if nvalid is None:
+        nvalid = jnp.int32(m)
+    nvalid = jnp.asarray(nvalid, jnp.int32).reshape(1)
+
+    blk_start = sp[:, 0, 0]                              # (n_blocks,)
+    blk_end = ep[:, 0, -1]
+    blk_row0 = jnp.clip(blk_start // LANE, 0, rows_src)
+    blk_nwin = jnp.clip(
+        (blk_end - blk_row0 * LANE + SEG_WR * LANE - 1) // (SEG_WR * LANE),
+        0, (rows_src + SEG_WR - 1) // SEG_WR)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, 1, SEG_TB), lambda i, r0, nw, nv: (i, 0, 0)),
+            pl.BlockSpec((1, 1, SEG_TB), lambda i, r0, nw, nv: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((16, SEG_TB), lambda i, r0, nw, nv: (0, i)),
+        scratch_shapes=[pltpu.VMEM((SEG_WR, 16, LANE), jnp.float32),
+                        pltpu.SemaphoreType.DMA],
+    )
+    out = pl.pallas_call(
+        _segment_reduce_kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((16, p_pad), jnp.float32),
+        interpret=interpret,
+    )(blk_row0, blk_nwin, nvalid, sp, ep, src)
+    return out[:, :p]

@@ -109,25 +109,64 @@ def triangle_field_matrix_3d(prep: Preprocessed3D, opacity: jnp.ndarray,
     return jnp.where(prep.valid[:, None], fields, 0.0)
 
 
-def pack_pair_fields(field_matrix: jnp.ndarray, binning: Binning) -> jnp.ndarray:
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def pack_pair_fields(field_matrix: jnp.ndarray, binning: Binning,
+                     interpret: bool = False) -> jnp.ndarray:
     """ONE gather of the per-triangle field matrix into sorted pair order.
 
     TPU gathers cost ~10ms/M rows regardless of row width, so packing does a
-    single (MA, 16) gather instead of 17 per-column gathers (~5x cheaper);
-    its AD transpose is likewise a single scatter-add.
+    single (MA, 16) gather instead of 17 per-column gathers (~5x cheaper).
 
-    NEGATIVE RESULT (measured twice, r2): replacing the scatter-add
-    transpose with a sort-by-triangle + cumsum + boundary-gather segment
-    reduction (sort (seg, iota) then row-gather, or 17-payload sort) is
-    SLOWER end to end — 38.7 / 38.2 ms vs 37.1 baseline. The replacement's
-    fusions price ~8.8 ms vs the 6.15 ms scatter: XLA's row gather is as
-    latency-bound as its scatter (~3.2 ms per 480k rows), and the (MA, 16)
-    cumsum adds two more full passes. Fixing this for real means a Pallas
-    streaming kernel over monotone indices, not XLA op substitution.
+    The AD transpose would be a (MA,16)->(P,16) scatter-add — measured at
+    6.15 ms @480k pairs, the single largest non-kernel op (XLA lowers it as
+    sort + serialized combiner). The custom backward instead (a) sorts the
+    16 gradient columns by OWNING TRIANGLE (``binning.pair_tri``) — one
+    16-payload sort, ~2.9 ms — after which triangle t's pairs occupy
+    exactly [tri_offsets[t], tri_offsets[t+1]) (position is fixed by the
+    per-triangle pair counts alone; within-triangle order is irrelevant to
+    a sum); then (b) runs the windowed streaming segment reduction
+    ``pallas/streams.py:segment_reduce_pairs`` (monotone segment bounds,
+    MXU one-hot accumulation — no gather/scatter).
+
+    NEGATIVE RESULT (measured twice, r2): the same substitution in pure XLA
+    (sort-by-triangle + cumsum + boundary-gather) is SLOWER end to end —
+    38.7 / 38.2 ms vs 37.1 baseline — because XLA's row gather is as
+    latency-bound as its scatter (~3.2 ms per 480k rows) and the (MA, 16)
+    cumsum adds two more full passes. The Pallas streaming kernel is what
+    makes the sorted form pay.
     """
     rows = field_matrix[jnp.maximum(binning.pair_tri, 0)]    # (MA, 16)
     rows = jnp.where(binning.pair_valid[:, None], rows, 0.0)
     return rows.T                                            # (16, MA)
+
+
+def _pack_fwd(field_matrix, binning, interpret):
+    return pack_pair_fields(field_matrix, binning, interpret), binning
+
+
+def _pack_bwd(interpret, binning, d):
+    from .pallas.streams import segment_reduce_pairs
+    num_pairs = binning.num_pairs
+    p = binning.tri_offsets.shape[0] - 1
+    # Sort cotangent columns by owning triangle: valid slots land at
+    # positions [tri_offsets[t], tri_offsets[t+1]) (counts fix positions;
+    # within-triangle order is irrelevant to a sum). Empty slots get
+    # sentinel ``p`` and sort to the tail at positions >= num_pairs, where
+    # the segment bounds (clipped to num_pairs) never reach them and the
+    # kernel's nvalid select zeroes their (possibly NaN) columns.
+    key = jnp.where(binning.pair_tri >= 0, binning.pair_tri, p)
+    srt = jax.lax.sort((key,) + tuple(d), num_keys=1, is_stable=False)
+    starts = jnp.minimum(binning.tri_offsets[:-1], num_pairs)
+    ends = jnp.minimum(binning.tri_offsets[1:], num_pairs)
+    d16 = segment_reduce_pairs(list(srt[1:]), starts, ends,
+                               nvalid=num_pairs,
+                               interpret=interpret)          # (16, P)
+    d_binning = jax.tree_util.tree_map(
+        lambda a: np.zeros(a.shape, jax.dtypes.float0), binning)
+    return d16.T, d_binning
+
+
+pack_pair_fields.defvjp(_pack_fwd, _pack_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -245,7 +284,7 @@ def rasterize(vertex: jnp.ndarray, opacity: jnp.ndarray,
                                         settings.image_height)
         sx = settings.image_width / (2.0 * camera.tan_fovx)
         sy = settings.image_height / (2.0 * camera.tan_fovy)
-    fields = pack_pair_fields(fmat, binning)
+    fields = pack_pair_fields(fmat, binning, interpret)
     params = jnp.concatenate([gamma[None], background, bg_depth[None],
                               jnp.asarray(sx, jnp.float32).reshape(1),
                               jnp.asarray(sy, jnp.float32).reshape(1),
@@ -330,7 +369,8 @@ def rasterize_gaussian(xyz: jnp.ndarray, scale: jnp.ndarray,
     binning = bin_triangles(prep_ng, settings, max_pairs, align=SLAB,
                             interpret=interpret)
 
-    fields = pack_pair_fields(gaussian_field_matrix(prep, opac1), binning)
+    fields = pack_pair_fields(gaussian_field_matrix(prep, opac1), binning,
+                               interpret)
     params = jnp.concatenate([gamma[None], background, bg_depth[None],
                               jnp.zeros(3, jnp.float32)])
     static_cfg = (settings.image_width, settings.image_height,
