@@ -473,7 +473,11 @@ class TestDPLocalMinibatch:
         assert dp_layout(8, 8) == (8, 1)
         assert dp_layout(3, 8) == (3, 1)
         assert dp_layout(6, 4) == (3, 2)
-        assert dp_layout(7, 4) == (1, 7)   # prime > devices: local accumulate
+        assert dp_layout(4, 1) == (1, 4)   # 1-device pool: local accumulate
+        # prime > devices would idle >half the pool — must fail loudly,
+        # not silently serialize a "data-parallel" run onto one chip
+        with pytest.raises(ValueError, match="divisor"):
+            dp_layout(7, 4)
         with pytest.raises(ValueError):
             dp_layout(0, 8)
 

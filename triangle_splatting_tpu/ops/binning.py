@@ -162,7 +162,9 @@ def bin_triangles(prep: Preprocessed, settings: RasterSettings,
     pair_tri = relayout_pairs(sorted_tri, raw_starts, astarts, tile_counts,
                               ma, interpret=interpret)
 
-    tri_offsets = jnp.concatenate([offsets, (offsets[-1:] + counts[-1:])])
+    # reuse `total` so the int32-wrap overflow reasoning above stays the
+    # single place this sum is defined
+    tri_offsets = jnp.concatenate([offsets, jnp.reshape(total, (1,))])
     return Binning(pair_tri=pair_tri, pair_valid=pair_tri >= 0,
                    tri_offsets=tri_offsets,
                    tile_starts=astarts, tile_counts=tile_counts,

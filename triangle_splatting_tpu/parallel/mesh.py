@@ -54,6 +54,11 @@ def dp_layout(dp_n: int, n_devices: int | None = None) -> tuple[int, int]:
     Uses the largest divisor of ``dp_n`` that fits the device pool, so
     ``data_parallel: 16`` on 8 chips runs 8-way with a 2-camera local
     minibatch per chip (scan-accumulated — gradients identical to 16-way).
+
+    Raises when the best layout would leave more than half the pool idle
+    (e.g. a prime ``dp_n`` larger than the device count serializes the
+    whole batch onto one chip) — a silently degenerate "data-parallel" run
+    is worse than an error naming a good batch size.
     """
     if n_devices is None:
         n_devices = len(jax.devices())
@@ -61,6 +66,14 @@ def dp_layout(dp_n: int, n_devices: int | None = None) -> tuple[int, int]:
         raise ValueError(f"data_parallel must be >= 1, got {dp_n}")
     for d in range(min(dp_n, n_devices), 0, -1):
         if dp_n % d == 0:
+            if dp_n > d and d <= n_devices // 2:
+                raise ValueError(
+                    f"data_parallel={dp_n} has no divisor using more than "
+                    f"{d} of the {n_devices} available devices — the batch "
+                    f"would serialize {dp_n // d} cameras per chip while "
+                    f"{n_devices - d} chips idle. Pick a batch size with a "
+                    f"divisor near {n_devices} (e.g. "
+                    f"{n_devices * max(1, round(dp_n / n_devices))}).")
             return d, dp_n // d
     raise AssertionError("unreachable: 1 divides dp_n")
 

@@ -425,10 +425,15 @@ class ScaffoldGSTrainer(BaseTrainer):
                 self.logger.add_scalar("Anchor Count", anchors, iteration)
                 from .adc_utils import adapt_pair_budget
                 np_used = aux.get("num_pairs")   # DP aux is grow-only
+                # denominator = C * k, the primitive array length rasterize
+                # sizes max_pairs against — NOT the per-view selected count
+                # (which inflates per-primitive need ~(C*k)/n_sel x and
+                # defeats the shrink path under heavy culling)
                 new_ppt = adapt_pair_budget(
                     self._ppt,
                     int(np_used) if np_used is not None else None,
-                    int(aux["n_gaussians"]), bool(aux["overflow"]))
+                    self.params.capacity * self.model_cfg.n_offsets,
+                    bool(aux["overflow"]))
                 if new_ppt != self._ppt:
                     self._ppt = new_ppt
                     self.logger.warning(

@@ -430,10 +430,12 @@ class VanillaGSTrainer(BaseTrainer):
                 self.logger.add_scalar("Loss", float(loss), iteration)
                 from .adc_utils import adapt_pair_budget
                 np_used = aux.get("num_pairs")   # DP aux is grow-only
+                # denominator = padded capacity (== rasterize's max_pairs
+                # P), not the alive count — see vanilla_ts
                 new_ppt = adapt_pair_budget(
                     self._ppt,
                     int(np_used) if np_used is not None else None,
-                    int(self.state.alive.sum()), bool(aux["overflow"]))
+                    self.params.capacity, bool(aux["overflow"]))
                 if new_ppt != self._ppt:
                     self._ppt = new_ppt
                     self.logger.warning(

@@ -708,9 +708,13 @@ class VanillaTSTrainer(BaseTrainer):
                 # re-quantize the static budget to measured need and pay
                 # one retrace (sort/pack/scatter costs scale with it)
                 from .adc_utils import adapt_pair_budget
+                # denominator = padded capacity: max_pairs is sized as
+                # ppt * capacity in rasterize, so need must be measured
+                # against the same P (alive count would inflate ppt and
+                # defeat the shrink path)
                 new_ppt = adapt_pair_budget(
                     self._ppt, int(aux["num_pairs"]),
-                    int(self.state.alive.sum()), bool(aux["overflow"]))
+                    self.params.capacity, bool(aux["overflow"]))
                 if new_ppt != self._ppt:
                     self._ppt = new_ppt
                     self.logger.warning(

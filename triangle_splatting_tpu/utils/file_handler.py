@@ -316,6 +316,8 @@ class MirrorHandler(BaseFileHandler):
         only fired inside putFile."""
         import threading
 
+        self._lock_mutex = threading.Lock()
+
         def beat():
             while getattr(self, "_can_upload", True) is not False:
                 time.sleep(self.LOCK_STALE_S / 4)
@@ -328,18 +330,32 @@ class MirrorHandler(BaseFileHandler):
         t.start()
         self._heartbeat_thread = t
 
+    def _lock_guard(self):
+        """Mutex serializing heartbeat / putFile / atexit-release access to
+        the lock meta and the shared .upload_lock_peek scratch file. Created
+        by _start_lock_heartbeat; before that only one thread exists."""
+        import threading
+        guard = getattr(self, "_lock_mutex", None)
+        if guard is None:
+            guard = self._lock_mutex = threading.Lock()
+        return guard
+
     def release_upload_lock(self) -> None:
         """Drop the remote upload lock if still OURS (idempotent; a broken
-        and re-acquired lock belonging to another process is left alone)."""
-        if not getattr(self, "_can_upload", False):
-            return
-        try:
-            token, _ = self._read_lock_meta("upload.lock")
-            if token == getattr(self, "_lock_token", None):
-                self.remote.remove("upload.lock")
-        except Exception:
-            pass
-        self._can_upload = False
+        and re-acquired lock belonging to another process is left alone).
+        Demotes under the mutex FIRST so the heartbeat thread cannot re-stamp
+        a fresh lock after we remove it (which would block the next run's
+        uploads for up to LOCK_STALE_S)."""
+        with self._lock_guard():
+            if not getattr(self, "_can_upload", False):
+                return
+            self._can_upload = False
+            try:
+                token, _ = self._read_lock_meta("upload.lock")
+                if token == getattr(self, "_lock_token", None):
+                    self.remote.remove("upload.lock")
+            except Exception:
+                pass
 
     def _maybe_refresh_lock(self) -> bool:
         """Heartbeat: re-stamp the held lock so long active runs are never
@@ -350,25 +366,28 @@ class MirrorHandler(BaseFileHandler):
         now = time.time()
         if now - getattr(self, "_lock_refreshed", 0.0) < self.LOCK_STALE_S / 4:
             return True
-        try:
-            token, _ = self._read_lock_meta("upload.lock")
-            if token is None:
-                # Unreadable meta: consistent with _acquire_upload_lock,
-                # never act on a failed read — if the lock was broken and
-                # taken over, re-stamping here would steal it back and put
-                # two uploaders on one root. Retry at the next heartbeat.
-                return True
-            if token != getattr(self, "_lock_token", None):
-                self._can_upload = False          # lost the election
-                self._warn("upload.lock now belongs to another process; "
-                           "this handler is demoted to read-only — remote "
-                           "artifacts from this run will stop uploading")
-                return False
-            self.remote.put(self._write_lock_meta(), "upload.lock")
-            self._lock_refreshed = now
-        except Exception:
-            pass
-        return True
+        with self._lock_guard():
+            if not getattr(self, "_can_upload", False):
+                return False        # released/demoted while we waited
+            try:
+                token, _ = self._read_lock_meta("upload.lock")
+                if token is None:
+                    # Unreadable meta: consistent with _acquire_upload_lock,
+                    # never act on a failed read — if the lock was broken and
+                    # taken over, re-stamping here would steal it back and put
+                    # two uploaders on one root. Retry at the next heartbeat.
+                    return True
+                if token != getattr(self, "_lock_token", None):
+                    self._can_upload = False          # lost the election
+                    self._warn("upload.lock now belongs to another process; "
+                               "this handler is demoted to read-only — remote "
+                               "artifacts from this run will stop uploading")
+                    return False
+                self.remote.put(self._write_lock_meta(), "upload.lock")
+                self._lock_refreshed = now
+            except Exception:
+                pass
+            return True
 
     def _warn(self, msg: str) -> None:
         if self._logger is not None:
