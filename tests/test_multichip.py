@@ -145,9 +145,10 @@ class TestMultichip:
 
         copy = lambda t: jax.tree_util.tree_map(
             lambda x: None if x is None else jnp.array(x), t)
+        sched = trainer._pack.pack(weights, lrs, np.asarray(background), 1)
         p2, o2, s2, loss_dp, slim = trainer._train_step_dp(
             settings, copy(params), copy(opt), copy(state),
-            stack_cameras(cams), background, lrs, weights, np.int32(1), None)
+            stack_cameras(cams), sched, None)
 
         for a, b in zip(jax.tree_util.tree_leaves(ref_params),
                         jax.tree_util.tree_leaves(p2)):
@@ -204,6 +205,54 @@ class TestMultichip:
             total += float(L.l1(pkg["render"], cam.gt_image))
         assert abs(float(loss_dp) - total) < 1e-4 * max(abs(total), 1)
         assert np.isfinite(np.asarray(g_c2d)).all()
+
+    def test_dp_step_cameras_per_device(self):
+        """make_dp_train_step with cameras_per_device=2: a 2-device x
+        2-views-per-device step matches the 4-view sum (loss and the psum-ed
+        c2d gradient) of the B=1 4-device step."""
+        from triangle_splatting_tpu.models import triangle as M
+        from triangle_splatting_tpu.parallel.mesh import (make_dp_train_step,
+                                                          make_mesh,
+                                                          stack_cameras)
+        from triangle_splatting_tpu.trainers import losses as L
+        from triangle_splatting_tpu.ops.projection import RasterSettings
+        from triangle_splatting_tpu.utils.testing import (make_camera,
+                                                          make_random_scene)
+
+        cfg = M.ModelConfig(max_sh_degree=0)
+        settings = RasterSettings(image_width=32, image_height=32,
+                                  max_sh_degree=0)
+        s = make_random_scene(64, seed=1)
+        params, state = M.create_from_points(s["vertex"].mean(1), s["rgb"],
+                                             None, cfg, init_opacity=0.5)
+        opt = M.AdamState.create(params)
+        cams = [make_camera(32, 32, with_image=True) for _ in range(4)]
+
+        def loss_fn(pkg, camera, p, st, weights):
+            return weights["l1"] * L.l1(pkg["render"], camera.gt_image)
+
+        lrs = {k: np.float32(1e-3) for k in
+               ("vertex", "opacity", "f_dc", "f_rest", "affine")}
+        weights = {"l1": np.float32(1.0)}
+        batch = stack_cameras(cams)
+
+        step4 = make_dp_train_step(make_mesh(4), settings, cfg, loss_fn,
+                                   interpret=True, donate=False)
+        p4, _, _, loss4, g4 = step4(params, opt, state, batch, jnp.ones(3),
+                                    lrs, weights)
+        step2x2 = make_dp_train_step(make_mesh(2), settings, cfg, loss_fn,
+                                     interpret=True, donate=False,
+                                     cameras_per_device=2)
+        p2, _, _, loss2, g2 = step2x2(params, opt, state, batch, jnp.ones(3),
+                                      lrs, weights)
+
+        np.testing.assert_allclose(float(loss2), float(loss4), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(g2), np.asarray(g4),
+                                   rtol=1e-4, atol=1e-7)
+        for a, b in zip(jax.tree_util.tree_leaves(p4),
+                        jax.tree_util.tree_leaves(p2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=1e-6)
 
 
 class TestHybridDPMP:
@@ -387,9 +436,10 @@ class TestGSScaffoldDPStepParity:
         ref_params, _ = G.adam_update(params, opt, mean_gp, lrs)
 
         copy = lambda t: jax.tree_util.tree_map(jnp.array, t)
+        sched = trainer._pack.pack(weights, lrs, np.asarray(bg), 1)
         p2, o2, s2, loss_dp, slim = trainer._train_step_dp(
             settings, copy(params), copy(opt), copy(state),
-            stack_cameras(cams), bg, lrs, weights, np.int32(1))
+            stack_cameras(cams), sched)
         for a, b in zip(jax.tree_util.tree_leaves(ref_params),
                         jax.tree_util.tree_leaves(p2)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
@@ -439,9 +489,10 @@ class TestGSScaffoldDPStepParity:
         ref_params, _ = S.adam_update(params, opt, mean_gp, lrs)
 
         copy = lambda t: jax.tree_util.tree_map(jnp.array, t)
+        sched = trainer._pack.pack(weights, lrs, np.asarray(bg), 60)
         p2, o2, s2, loss_dp, slim = trainer._train_step_dp(
             settings, copy(params), copy(opt), copy(state),
-            stack_cameras(cams), bg, lrs, weights, np.int32(60))
+            stack_cameras(cams), sched)
         for a, b in zip(jax.tree_util.tree_leaves(ref_params),
                         jax.tree_util.tree_leaves(p2)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
@@ -523,9 +574,10 @@ class TestDPLocalMinibatch:
 
         copy = lambda t: jax.tree_util.tree_map(
             lambda x: None if x is None else jnp.array(x), t)
+        sched = trainer._pack.pack(weights, lrs, np.asarray(bg), 1)
         p2, o2, s2, loss_dp, slim = trainer._train_step_dp(
             settings, copy(params), copy(opt), copy(state),
-            stack_cameras(cams), bg, lrs, weights, np.int32(1), None)
+            stack_cameras(cams), sched, None)
 
         assert abs(float(loss_dp) - ref_loss) < 1e-4 * max(abs(ref_loss), 1)
         for a, b in zip(jax.tree_util.tree_leaves(ref_params),
@@ -581,9 +633,10 @@ class TestDPLocalMinibatch:
         ref_params, _ = G.adam_update(params, opt, mean_gp, lrs)
 
         copy = lambda t: jax.tree_util.tree_map(jnp.array, t)
+        sched = trainer._pack.pack(weights, lrs, np.asarray(bg), 1)
         p2, o2, s2, loss_dp, slim = trainer._train_step_dp(
             settings, copy(params), copy(opt), copy(state),
-            stack_cameras(cams), bg, lrs, weights, np.int32(1))
+            stack_cameras(cams), sched)
         for a, b in zip(jax.tree_util.tree_leaves(ref_params),
                         jax.tree_util.tree_leaves(p2)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
@@ -632,9 +685,10 @@ class TestDPLocalMinibatch:
         ref_params, _ = S.adam_update(params, opt, mean_gp, lrs)
 
         copy = lambda t: jax.tree_util.tree_map(jnp.array, t)
+        sched = trainer._pack.pack(weights, lrs, np.asarray(bg), 60)
         p2, o2, s2, loss_dp, slim = trainer._train_step_dp(
             settings, copy(params), copy(opt), copy(state),
-            stack_cameras(cams), bg, lrs, weights, np.int32(60))
+            stack_cameras(cams), sched)
         for a, b in zip(jax.tree_util.tree_leaves(ref_params),
                         jax.tree_util.tree_leaves(p2)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),

@@ -63,6 +63,26 @@ class BaseTrainer:
 
         self.dataset = build_dataset(config.dataset, self.logger)
 
+    # -- per-iteration host-scalar packing (trainers/scalar_pack.py) --------
+    # Subclasses declare their loss-weight keys and the lr groups their
+    # _lrs() setdefaults; the pack layout is derived once, lazily, so direct
+    # _train_step calls (tests) work without running train().
+    _PACK_WEIGHT_KEYS: tuple = ()
+    _PACK_LR_DEFAULTS: tuple = ()
+
+    @property
+    def _pack(self):
+        p = getattr(self, "_pack_cache", None)
+        if p is None:
+            from .scalar_pack import HostScalarPack
+            lr_keys = tuple(self.lr_schedulers)
+            for n in self._PACK_LR_DEFAULTS:
+                if n not in lr_keys:
+                    lr_keys += (n,)
+            p = HostScalarPack(self._PACK_WEIGHT_KEYS, lr_keys)
+            self._pack_cache = p
+        return p
+
     # -- profiling (SURVEY §5: phase Timer + jax.profiler trace hooks) ------
     def _profile_hooks(self, iteration: int) -> None:
         """Start/stop a jax.profiler trace over the configured iteration

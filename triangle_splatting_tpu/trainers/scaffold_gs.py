@@ -113,6 +113,28 @@ class ScaffoldGSTrainer(BaseTrainer):
             lrs.setdefault(n, _f32(0.0))
         return lrs
 
+    _PACK_WEIGHT_KEYS = ("l1", "ssim", "scaling", "opacity")
+    _PACK_LR_DEFAULTS = LR_GROUPS            # _lrs setdefaults them
+
+    def _log_vec(self, state, loss, aux):
+        """Per-STEP log scalars stacked on-device (one d2h fetch per log
+        step): [loss, n_gaussians, num_pairs, overflow]; num_pairs is -1
+        when the aux dict doesn't carry it (DP slim aux). The anchor count
+        is fetched separately via _count_vec AFTER _anchor_update (see
+        vanilla_ts)."""
+        np_used = aux.get("num_pairs")
+        return jnp.stack([
+            jnp.float32(loss),
+            jnp.asarray(aux["n_gaussians"], jnp.float32),
+            jnp.float32(-1.0) if np_used is None
+            else np_used.astype(jnp.float32),
+            aux["overflow"].astype(jnp.float32)])
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _count_vec(self, state):
+        """Post-anchor-update log scalars: [anchor_count]."""
+        return state.alive.sum().astype(jnp.float32)[None]
+
     def _settings_for(self, camera: Camera) -> RasterSettings:
         if not hasattr(self, "_ppt"):
             self._ppt = self.config.model.pairs_per_triangle or 6
@@ -167,8 +189,10 @@ class ScaffoldGSTrainer(BaseTrainer):
 
     @functools.partial(jax.jit, static_argnums=(0, 1),
                        donate_argnums=(2, 3, 4))
-    def _train_step(self, settings, params, opt, state, camera, background,
-                    lrs, weights, iteration):
+    def _train_step(self, settings, params, opt, state, camera, sched):
+        """``sched`` is the HostScalarPack vector — one h2d buffer per step
+        instead of ~15 scalar RPCs through the remote-dispatch tunnel."""
+        weights, lrs, background, iteration = self._pack.unpack(sched)
         N = params.capacity * self.model_cfg.n_offsets
 
         def loss_fn(p, m2d):
@@ -184,12 +208,12 @@ class ScaffoldGSTrainer(BaseTrainer):
             state = S.update_statistics(state, g_m2d, aux["pkg"],
                                         self.model_cfg.n_offsets,
                                         gate=self._stat_gate(iteration))
+        aux["log_vec"] = self._log_vec(state, loss, aux)
         return params, opt, state, loss, aux
 
     @functools.partial(jax.jit, static_argnums=(0, 1),
                        donate_argnums=(2, 3, 4))
-    def _train_step_dp(self, settings, params, opt, state, cameras,
-                       background, lrs, weights, iteration):
+    def _train_step_dp(self, settings, params, opt, state, cameras, sched):
         """Camera-batch DP step over ``self._mesh`` (same semantics as
         VanillaTSTrainer._train_step_dp, including the B-views-per-device
         scan). Scaffold's anchor-update statistics
@@ -198,6 +222,7 @@ class ScaffoldGSTrainer(BaseTrainer):
         from ..parallel.mesh import get_shard_map
         shard_map = get_shard_map()
 
+        weights, lrs, background, iteration = self._pack.unpack(sched)
         mesh = self._mesh
         axis = "data"
         B = self._dp_b
@@ -280,8 +305,10 @@ class ScaffoldGSTrainer(BaseTrainer):
             in_specs=(repl, repl, repl, shard, repl, repl, repl, repl),
             out_specs=(repl, repl, repl, repl, repl),
             check_vma=False)
-        return smapped(params, opt, state, cameras, background, lrs, weights,
-                       jnp.int32(iteration))
+        params, opt, state, loss, slim = smapped(
+            params, opt, state, cameras, background, lrs, weights, iteration)
+        slim["log_vec"] = self._log_vec(state, loss, slim)
+        return params, opt, state, loss, slim
 
     @functools.partial(jax.jit, static_argnums=(0, 1))
     def _eval_step(self, settings, params, state, camera, background):
@@ -386,54 +413,59 @@ class ScaffoldGSTrainer(BaseTrainer):
             camera = camera.strip_static()
             self._profile_hooks(iteration)
             timer.log("train step")
-            bg = jnp.asarray(get_color_tensor(
-                cfgt.train_background or "black", self._rng))
             weights = {"l1": _f32(1.0 - (cfgt.w_ssim or 0.0)),
                        "ssim": _f32(cfgt.w_ssim or 0.0),
                        "scaling": _f32(cfgt.w_scaling_reg or 0.0),
                        "opacity": _f32(cfgt.w_opacity_reg or 0.0)}
+            sched = self._pack.pack(
+                weights, self._lrs(iteration),
+                get_color_tensor(cfgt.train_background or "black",
+                                 self._rng), iteration)
             if dp_cameras is not None:
                 from ..parallel.mesh import stack_dp_cameras
                 batch = stack_dp_cameras(dp_cameras)
                 self.params, self.opt, self.state, loss, aux = \
                     self._train_step_dp(
                         settings, self.params, self.opt, self.state, batch,
-                        bg, self._lrs(iteration), weights,
-                        np.int32(iteration))
+                        sched)
             else:
                 self.params, self.opt, self.state, loss, aux = \
                     self._train_step(
                         settings, self.params, self.opt, self.state, camera,
-                        bg, self._lrs(iteration), weights,
-                        np.int32(iteration))
+                        sched)
             self._maintain_constraints(iteration)
             if cfgt.eval_interval_iter and \
                     iteration % cfgt.eval_interval_iter == 0:
                 timer.log("evaluation")
                 self._evaluate(iteration)
+            # primitive-array length at STEP time — _anchor_update may grow
+            # capacity, and num_pairs was measured against the pre-growth
+            # max_pairs
+            n_prim_step = self.params.capacity * self.model_cfg.n_offsets
             timer.log("statistic + anchor update")
             self._anchor_update(iteration)
             if cfgt.log_interval_iter and \
                     iteration % cfgt.log_interval_iter == 0:
                 timer.log("logging")
-                anchors = int(self.state.alive.sum())
+                # TWO d2h fetches: step [loss, n_gaussians, num_pairs,
+                # overflow] + post-update [anchors] (trainers/scalar_pack.py)
+                lv = np.asarray(aux["log_vec"])
+                anchors = int(np.asarray(self._count_vec(self.state))[0])
                 self.logger.info(
-                    f"[ITER {iteration}] Loss: {float(loss):.5f}, Anchor "
-                    f"Count: {anchors}, Gaussian Count: "
-                    f"{int(aux['n_gaussians'])}")
-                self.logger.add_scalar("Loss", float(loss), iteration)
+                    f"[ITER {iteration}] Loss: {lv[0]:.5f}, Anchor "
+                    f"Count: {anchors}, Gaussian Count: {int(lv[1])}")
+                self.logger.add_scalar("Loss", float(lv[0]), iteration)
                 self.logger.add_scalar("Anchor Count", anchors, iteration)
                 from .adc_utils import adapt_pair_budget
-                np_used = aux.get("num_pairs")   # DP aux is grow-only
+                np_used = int(lv[2])   # -1 when DP (slim aux is grow-only)
                 # denominator = C * k, the primitive array length rasterize
                 # sizes max_pairs against — NOT the per-view selected count
                 # (which inflates per-primitive need ~(C*k)/n_sel x and
                 # defeats the shrink path under heavy culling)
                 new_ppt = adapt_pair_budget(
                     self._ppt,
-                    int(np_used) if np_used is not None else None,
-                    self.params.capacity * self.model_cfg.n_offsets,
-                    bool(aux["overflow"]))
+                    np_used if np_used >= 0 else None,
+                    n_prim_step, bool(lv[3]))
                 if new_ppt != self._ppt:
                     self._ppt = new_ppt
                     self.logger.warning(

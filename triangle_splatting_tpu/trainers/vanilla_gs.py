@@ -106,6 +106,10 @@ class VanillaGSTrainer(BaseTrainer):
             lrs.setdefault(n, _f32(0.0))
         return lrs
 
+    _PACK_WEIGHT_KEYS = ("l1", "ssim")
+    _PACK_LR_DEFAULTS = ("xyz", "scaling", "rotation", "opacity", "f_dc",
+                         "f_rest")          # _lrs setdefaults them
+
     def _settings_for(self, camera: Camera) -> RasterSettings:
         if not hasattr(self, "_ppt"):
             self._ppt = self.config.model.pairs_per_triangle or 6
@@ -143,8 +147,10 @@ class VanillaGSTrainer(BaseTrainer):
         return (iteration > st.start_iter) & (iteration <= st.end_iter)
 
     @functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2, 3, 4))
-    def _train_step(self, settings, params, opt, state, camera, background,
-                    lrs, weights, iteration):
+    def _train_step(self, settings, params, opt, state, camera, sched):
+        """``sched`` is the HostScalarPack vector — one h2d buffer per step
+        instead of ~10 scalar RPCs through the remote-dispatch tunnel."""
+        weights, lrs, background, iteration = self._pack.unpack(sched)
         C = params.capacity
 
         def loss_fn(p, m2d):
@@ -161,11 +167,28 @@ class VanillaGSTrainer(BaseTrainer):
                 state, g_m2d, aux["radii"], aux["contrib_sum"],
                 aux["contrib_max"],
                 aux["visible_mask"] & self._stat_gate(iteration))
+        aux["log_vec"] = self._log_vec(state, loss, aux)
         return params, opt, state, loss, aux
 
+    def _log_vec(self, state, loss, aux):
+        """Per-STEP log scalars stacked on-device (one d2h fetch per log
+        step): [loss, num_pairs, overflow]; num_pairs is -1 when the aux
+        dict doesn't carry it (DP slim aux). The alive count is fetched
+        separately via _count_vec AFTER _model_update (see vanilla_ts)."""
+        np_used = aux.get("num_pairs")
+        return jnp.stack([
+            jnp.float32(loss),
+            jnp.float32(-1.0) if np_used is None
+            else np_used.astype(jnp.float32),
+            aux["overflow"].astype(jnp.float32)])
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _count_vec(self, state):
+        """Post-model-update log scalars: [alive_count]."""
+        return state.alive.sum().astype(jnp.float32)[None]
+
     @functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2, 3, 4))
-    def _train_step_dp(self, settings, params, opt, state, cameras,
-                       background, lrs, weights, iteration):
+    def _train_step_dp(self, settings, params, opt, state, cameras, sched):
         """Camera-batch DP step over ``self._mesh``: mean-gradient psum,
         replicated Adam, per-VIEW statistics reduced across views and the
         mesh (identical semantics to VanillaTSTrainer._train_step_dp,
@@ -176,6 +199,7 @@ class VanillaGSTrainer(BaseTrainer):
                                      reduce_view_statistics_local,
                                      view_stat_locals, zero_view_stat_locals)
 
+        weights, lrs, background, iteration = self._pack.unpack(sched)
         mesh = self._mesh
         axis = "data"
         B = self._dp_b
@@ -235,8 +259,10 @@ class VanillaGSTrainer(BaseTrainer):
             in_specs=(repl, repl, repl, shard, repl, repl, repl, repl),
             out_specs=(repl, repl, repl, repl, repl),
             check_vma=False)
-        return smapped(params, opt, state, cameras, background, lrs, weights,
-                       jnp.int32(iteration))
+        params, opt, state, loss, slim = smapped(
+            params, opt, state, cameras, background, lrs, weights, iteration)
+        slim["log_vec"] = self._log_vec(state, loss, slim)
+        return params, opt, state, loss, slim
 
     @functools.partial(jax.jit, static_argnums=(0, 1))
     def _eval_step(self, settings, params, state, camera, background):
@@ -400,42 +426,49 @@ class VanillaGSTrainer(BaseTrainer):
             camera = camera.strip_static()
             self._profile_hooks(iteration)
             timer.log("train step")
-            bg = jnp.asarray(get_color_tensor(cfgt.train_background or "random",
-                                              self._rng))
             weights = {"l1": _f32(1.0 - (cfgt.w_ssim or 0.0)),
                        "ssim": _f32(cfgt.w_ssim or 0.0)}
+            sched = self._pack.pack(
+                weights, self._lrs(iteration),
+                get_color_tensor(cfgt.train_background or "random",
+                                 self._rng), iteration)
             if dp_cameras is not None:
                 from ..parallel.mesh import stack_dp_cameras
                 batch = stack_dp_cameras(dp_cameras)
                 self.params, self.opt, self.state, loss, aux = \
                     self._train_step_dp(
                         settings, self.params, self.opt, self.state, batch,
-                        bg, self._lrs(iteration), weights,
-                        np.int32(iteration))
+                        sched)
             else:
                 self.params, self.opt, self.state, loss, aux = \
                     self._train_step(
                         settings, self.params, self.opt, self.state, camera,
-                        bg, self._lrs(iteration), weights,
-                        np.int32(iteration))
+                        sched)
             if cfgt.eval_interval_iter and iteration % cfgt.eval_interval_iter == 0:
                 timer.log("evaluation")
                 self._evaluate(iteration)
+            # capacity at STEP time — _model_update may grow it, and
+            # num_pairs was measured against the pre-growth max_pairs
+            cap_step = self.params.capacity
             timer.log("model update")
             self._model_update(iteration)
             if cfgt.log_interval_iter and iteration % cfgt.log_interval_iter == 0:
                 timer.log("logging")
-                self.logger.info(f"[ITER {iteration}] Loss: {float(loss):.5f}, "
-                                 f"Gaussians: {int(self.state.alive.sum())}")
-                self.logger.add_scalar("Loss", float(loss), iteration)
+                # TWO d2h fetches: step [loss, num_pairs, overflow] +
+                # post-update [alive] (trainers/scalar_pack.py)
+                lv = np.asarray(aux["log_vec"])
+                count = int(np.asarray(self._count_vec(self.state))[0])
+                self.logger.info(f"[ITER {iteration}] Loss: {lv[0]:.5f}, "
+                                 f"Gaussians: {count}")
+                self.logger.add_scalar("Loss", float(lv[0]), iteration)
                 from .adc_utils import adapt_pair_budget
-                np_used = aux.get("num_pairs")   # DP aux is grow-only
+                np_used = int(lv[1])   # -1 when DP (slim aux is grow-only)
                 # denominator = padded capacity (== rasterize's max_pairs
                 # P), not the alive count — see vanilla_ts
                 new_ppt = adapt_pair_budget(
                     self._ppt,
-                    int(np_used) if np_used is not None else None,
-                    self.params.capacity, bool(aux["overflow"]))
+                    np_used if np_used >= 0 else None,
+                    cap_step, bool(lv[2]))
                 if new_ppt != self._ppt:
                     self._ppt = new_ppt
                     self.logger.warning(

@@ -143,6 +143,10 @@ class VanillaTSTrainer(BaseTrainer):
         lrs.setdefault("affine", _f32(0.0))
         return lrs
 
+    _PACK_WEIGHT_KEYS = ("l1", "ssim", "dog", "smooth", "geometry", "scaling",
+                         "opacity_quad", "opacity_linear", "vertex", "affine")
+    _PACK_LR_DEFAULTS = ("affine",)          # _lrs setdefaults it
+
     def _settings_for(self, camera: Camera) -> RasterSettings:
         if not hasattr(self, "_ppt"):
             self._ppt = self.config.model.pairs_per_triangle or 6
@@ -220,9 +224,14 @@ class VanillaTSTrainer(BaseTrainer):
 
     @functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2, 3, 4))
     def _train_step(self, settings: RasterSettings, params, opt, state,
-                    camera: Camera, background, lrs, weights, iteration,
-                    nearest_idx):
-        """One full training iteration (forward/loss/backward/Adam/stats)."""
+                    camera: Camera, sched, nearest_idx):
+        """One full training iteration (forward/loss/backward/Adam/stats).
+
+        ``sched`` is the HostScalarPack vector (weights/lrs/background/
+        iteration) — ONE h2d buffer per step instead of ~20 scalar RPCs
+        through the remote-dispatch tunnel (see trainers/scalar_pack.py).
+        """
+        weights, lrs, background, iteration = self._pack.unpack(sched)
         C = params.capacity
 
         def loss_fn(p, c2d):
@@ -239,7 +248,32 @@ class VanillaTSTrainer(BaseTrainer):
             state = M.update_statistics(state, g_c2d, aux["radii"],
                                         aux["contrib_sum"], aux["contrib_max"],
                                         aux["visible_mask"] & self._stat_gate(iteration))
+        aux["log_vec"] = self._log_vec(params, state, loss, aux)
         return params, opt, state, loss, aux
+
+    def _log_vec(self, params, state, loss, aux):
+        """Per-STEP log scalars stacked on-device (one d2h fetch per log
+        step): [loss, num_pairs, overflow]. Model-state scalars
+        (count/gamma/SH) are fetched separately via _count_vec AFTER
+        _model_update so densify/prune/anneal effects are not logged one
+        update late (they were computed post-update in the host logic this
+        replaces)."""
+        return jnp.stack([
+            jnp.float32(loss), aux["num_pairs"].astype(jnp.float32),
+            aux["overflow"].astype(jnp.float32)])
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _count_vec(self, params, state):
+        """Post-model-update log scalars: [count, gamma, sh_degree].
+        ``count`` is the opacity-thresholded triangle count when
+        ste_threshold is set (mesh configs), else the alive count."""
+        if self.model_cfg.ste_threshold is not None:
+            cnt = ((M.get_opacity(params)[:, 0] > self.model_cfg.ste_threshold)
+                   & state.alive).sum()
+        else:
+            cnt = state.alive.sum()
+        return jnp.stack([cnt.astype(jnp.float32), jnp.float32(state.gamma),
+                          state.active_sh_degree.astype(jnp.float32)])
 
     def _stat_gate(self, iteration):
         st = self._mu.statistic if self._mu is not None else None
@@ -249,8 +283,7 @@ class VanillaTSTrainer(BaseTrainer):
 
     @functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2, 3, 4))
     def _train_step_dp(self, settings: RasterSettings, params, opt, state,
-                       cameras: Camera, background, lrs, weights, iteration,
-                       nearest_idx):
+                       cameras: Camera, sched, nearest_idx):
         """Camera-batch data-parallel train step over ``self._mesh``.
 
         The reference's only multi-GPU mechanism is independent per-scene
@@ -272,6 +305,7 @@ class VanillaTSTrainer(BaseTrainer):
                                      reduce_view_statistics_local,
                                      view_stat_locals, zero_view_stat_locals)
 
+        weights, lrs, background, iteration = self._pack.unpack(sched)
         mesh = self._mesh
         axis = "data"
         n_views = mesh.shape[axis] * self._dp_b
@@ -352,8 +386,11 @@ class VanillaTSTrainer(BaseTrainer):
             in_specs=(repl, repl, repl, shard, repl, repl, repl, repl, repl),
             out_specs=(repl, repl, repl, repl, repl),
             check_vma=False)
-        return smapped(params, opt, state, cameras, background, lrs, weights,
-                       nearest_idx, jnp.int32(iteration))
+        params, opt, state, loss, slim = smapped(
+            params, opt, state, cameras, background, lrs, weights,
+            nearest_idx, iteration)
+        slim["log_vec"] = self._log_vec(params, state, loss, slim)
+        return params, opt, state, loss, slim
 
     @functools.partial(jax.jit, static_argnums=(0, 1, 6))
     def _eval_step(self, settings, params, state, camera, background, eval_mask: bool):
@@ -648,9 +685,9 @@ class VanillaTSTrainer(BaseTrainer):
             self._profile_hooks(iteration)
             timer.log("train step")
             bg_name = cfgt.train_background or "random"
-            background = jnp.asarray(get_color_tensor(bg_name, self._rng))
-            weights = self._loss_weights(iteration)
-            lrs = self._lrs(iteration)
+            sched = self._pack.pack(
+                self._loss_weights(iteration), self._lrs(iteration),
+                get_color_tensor(bg_name, self._rng), iteration)
 
             if self._w_vertex > 0 and iteration > (vr.start_iter or 0) and \
                     ((iteration - 1) % (vr.interval_iter or 10) == 0
@@ -670,35 +707,36 @@ class VanillaTSTrainer(BaseTrainer):
                 self.params, self.opt, self.state, loss, aux = \
                     self._train_step_dp(
                         settings, self.params, self.opt, self.state, batch,
-                        background, lrs, weights, np.int32(iteration),
-                        nearest_idx)
+                        sched, nearest_idx)
             else:
                 self.params, self.opt, self.state, loss, aux = \
                     self._train_step(
                         settings, self.params, self.opt, self.state, camera,
-                        background, lrs, weights, np.int32(iteration),
-                        nearest_idx)
+                        sched, nearest_idx)
 
             if cfgt.eval_interval_iter and iteration % cfgt.eval_interval_iter == 0:
                 timer.log("evaluation")
                 self._evaluate(iteration)
 
+            # capacity AT STEP TIME: num_pairs in log_vec was measured
+            # against this P (max_pairs = ppt * capacity); _model_update may
+            # grow it below, and mixing pre-update pairs with post-growth
+            # capacity would underestimate need and spuriously shrink
+            cap_step = self.params.capacity
             timer.log("model update")
             self._model_update(iteration)
 
             if cfgt.log_interval_iter and iteration % cfgt.log_interval_iter == 0:
                 timer.log("logging")
-                loss_val = float(loss)
-                if self.model_cfg.ste_threshold is not None:
-                    count = int(((np.asarray(M.get_opacity(self.params))[:, 0]
-                                  > self.model_cfg.ste_threshold)
-                                 & np.asarray(self.state.alive)).sum())
-                else:
-                    count = int(self.state.alive.sum())
-                gamma = float(self.state.gamma)
+                # TWO d2h fetches for all log scalars: the step's
+                # [loss, num_pairs, overflow] plus post-update
+                # [count, gamma, SH] (trainers/scalar_pack.py)
+                lv = np.asarray(aux["log_vec"])
+                cv = np.asarray(self._count_vec(self.params, self.state))
+                loss_val, count, gamma = float(lv[0]), int(cv[0]), float(cv[1])
                 self.logger.info(
                     f"[ITER {iteration}] Loss: {loss_val:.5f}, Triangles: {count}, "
-                    f"Gamma: {gamma:.3f}, SH: {int(self.state.active_sh_degree)}")
+                    f"Gamma: {gamma:.3f}, SH: {int(cv[2])}")
                 self.logger.add_scalar("Loss", loss_val, iteration)
                 self.logger.add_scalar("Triangle Count", count, iteration)
                 self.logger.add_scalar("Training Time (min)",
@@ -708,13 +746,12 @@ class VanillaTSTrainer(BaseTrainer):
                 # re-quantize the static budget to measured need and pay
                 # one retrace (sort/pack/scatter costs scale with it)
                 from .adc_utils import adapt_pair_budget
-                # denominator = padded capacity: max_pairs is sized as
-                # ppt * capacity in rasterize, so need must be measured
-                # against the same P (alive count would inflate ppt and
-                # defeat the shrink path)
+                # denominator = padded capacity at step time: max_pairs is
+                # sized as ppt * capacity in rasterize, so need must be
+                # measured against the same P (alive count would inflate
+                # ppt and defeat the shrink path)
                 new_ppt = adapt_pair_budget(
-                    self._ppt, int(aux["num_pairs"]),
-                    self.params.capacity, bool(aux["overflow"]))
+                    self._ppt, int(lv[1]), cap_step, bool(lv[2]))
                 if new_ppt != self._ppt:
                     self._ppt = new_ppt
                     self.logger.warning(
