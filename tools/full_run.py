@@ -37,10 +37,16 @@ def main():
     ap.add_argument("--init_points", type=int, default=100_000)
     ap.add_argument("--adc", action="store_true",
                     help="ADC rehearsal: 20k init + densify/prune enabled")
+    ap.add_argument("--ckpt_every", type=int, default=5000,
+                    help="checkpoint cadence (0 disables)")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from the newest checkpoint in --root/out")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (scaled-down rehearsals)")
     args = ap.parse_args()
 
     from triangle_splatting_tpu.utils.jax_setup import setup
-    setup()
+    setup(platform="cpu" if args.cpu else None)
 
     from triangle_splatting_tpu.utils.testing import (
         build_synthetic_nerf_dataset)
@@ -88,6 +94,23 @@ def main():
         cfg.trainer.iterations = args.iters
         cfg.trainer.use_tensorboard = False
         cfg.trainer.seed = 0
+
+    if args.ckpt_every:
+        cfg.trainer.ckpt_interval_iter = args.ckpt_every
+    if args.resume:
+        import glob
+        ckpts = sorted(
+            (int(os.path.basename(p).split(".")[0]) for p in
+             glob.glob(os.path.join(args.root, "out", "ckpt", "*.ckpt"))),
+            reverse=True)
+        if ckpts:
+            cfg.trainer.start_checkpoint = ckpts[0]
+            cfg.trainer.clean_output_dir = False   # keep the ckpt dir
+            print(f"[full_run] resuming from iteration {ckpts[0]}",
+                  flush=True)
+        else:
+            print("[full_run] --resume: no checkpoint found, starting fresh",
+                  flush=True)
 
     from triangle_splatting_tpu.trainers import build_trainer
     trainer = build_trainer(cfg, log_file=True)
