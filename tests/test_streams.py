@@ -6,7 +6,8 @@ import numpy as np
 import pytest
 
 from triangle_splatting_tpu.ops.pallas.streams import (relayout_pairs,
-                                                       segment_reduce_pairs)
+                                                       segment_reduce_pairs,
+                                                       segment_reduce_stats)
 
 
 def xla_reference(sorted_tri, raw_starts, astarts, tile_counts, ma):
@@ -156,6 +157,92 @@ class TestSegmentReducePairs:
         np.testing.assert_allclose(self._run(data, starts, ends),
                                    segment_reference(data, starts, ends),
                                    rtol=2e-6, atol=2e-5)
+
+
+class TestSegmentReduceStats:
+    def _run(self, sum_col, max_col, starts, ends, nvalid=None):
+        s, m = segment_reduce_stats(
+            jnp.asarray(sum_col), jnp.asarray(max_col),
+            jnp.asarray(starts, jnp.int32), jnp.asarray(ends, jnp.int32),
+            nvalid=None if nvalid is None else jnp.int32(nvalid),
+            interpret=True)
+        return np.asarray(s), np.asarray(m)
+
+    @pytest.mark.parametrize("seed,M,P,maxlen", [
+        (0, 128 * 37, 700, 12),        # typical: ~3.5 pairs/segment
+        (1, 128 * 8, 2000, 1),         # many empty + length-1 segments
+        (2, 128 * 64, 9, 2000),        # few giant segments (multi-window)
+        (3, 128, 1, 128),              # single segment spanning everything
+    ])
+    def test_matches_reference(self, seed, M, P, maxlen):
+        rng = np.random.default_rng(seed)
+        counts = rng.integers(0, maxlen + 1, P)
+        offs = np.minimum(np.concatenate([[0], np.cumsum(counts)]), M)
+        starts, ends = offs[:-1], offs[1:]
+        sum_col = rng.normal(size=M).astype(np.float32)
+        max_col = rng.uniform(0.0, 1.0, M).astype(np.float32)
+        got_s, got_m = self._run(sum_col, max_col, starts, ends)
+        want_s = np.array([sum_col[a:b].sum() for a, b in zip(starts, ends)],
+                          np.float32)
+        want_m = np.array(
+            [max_col[a:b].max() if b > a else 0.0
+             for a, b in zip(starts, ends)], np.float32)
+        np.testing.assert_allclose(got_s, want_s, rtol=2e-6, atol=2e-5)
+        np.testing.assert_allclose(got_m, want_m, rtol=0, atol=0)
+
+    def test_empty_segments_zero_identity(self):
+        M, P = 256, 100
+        ones = np.ones(M, np.float32)
+        starts = ends = np.full((P,), M, np.int32)
+        got_s, got_m = self._run(ones, ones, starts, ends)
+        assert (got_s == 0).all() and (got_m == 0).all()
+
+    def test_nvalid_tail_guard(self):
+        M, P, nvalid = 128 * 4, 64, 100
+        rng = np.random.default_rng(1)
+        sum_col = rng.normal(size=M).astype(np.float32)
+        max_col = rng.uniform(0.0, 1.0, M).astype(np.float32)
+        sum_col[nvalid:] = np.nan
+        max_col[nvalid:] = np.nan
+        counts = np.full(P, 2)
+        offs = np.minimum(np.concatenate([[0], np.cumsum(counts)]), nvalid)
+        starts, ends = offs[:-1], offs[1:]
+        got_s, got_m = self._run(sum_col, max_col, starts, ends, nvalid)
+        assert np.isfinite(got_s).all() and np.isfinite(got_m).all()
+
+    def test_matches_xla_segment_ops_on_real_binning(self):
+        """End-to-end: rasterize's contrib stats equal the plain
+        jax.ops.segment_sum / segment_max formulation they replaced."""
+        from triangle_splatting_tpu.ops.binning import bin_triangles
+        from triangle_splatting_tpu.ops.projection import (RasterSettings,
+                                                           preprocess_2d)
+        from triangle_splatting_tpu.ops.rasterize import _contrib_stats
+        from triangle_splatting_tpu.utils.testing import (make_camera,
+                                                          make_random_scene)
+        P = 300
+        settings = RasterSettings(image_width=160, image_height=96)
+        cam = make_camera(160, 96, 60.0)
+        s = make_random_scene(P, seed=11)
+        prep = preprocess_2d(jnp.asarray(s["vertex"]), jnp.zeros((P, 2)),
+                             jnp.asarray(s["rgb"]), cam.world_view,
+                             cam.full_proj, cam.tan_fovx, cam.tan_fovy,
+                             settings)
+        binning = bin_triangles(prep, settings, max_pairs=128 * 24,
+                                interpret=True)
+        ma = binning.pair_tri.shape[0]
+        rng = np.random.default_rng(3)
+        pc = jnp.asarray(rng.uniform(0.0, 1.0, (2, ma)).astype(np.float32))
+
+        got_s, got_m = _contrib_stats(pc, binning, P, interpret=True)
+
+        seg = jnp.where(binning.pair_valid, binning.pair_tri, P)
+        want_s = jax.ops.segment_sum(pc[0], seg, num_segments=P + 1)[:P]
+        want_m = jnp.maximum(
+            jax.ops.segment_max(pc[1], seg, num_segments=P + 1)[:P], 0.0)
+        np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
+                                   rtol=2e-6, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(got_m), np.asarray(want_m),
+                                   rtol=0, atol=0)
 
 
 class TestPackBackward:

@@ -22,6 +22,15 @@ output column. Replaces the XLA (MA,16)->(P,16) scatter-add measured at
 6.15 ms @480k pairs (whole backward path: sort 2.9 + kernel, nets -2.2 ms
 end to end).
 
+``segment_reduce_stats`` — the same contiguous-segment structure for the
+per-triangle contribution statistics (``contrib_sum`` += alpha*T,
+``contrib_max`` = max alpha*T — the reference's forward-kernel atomics,
+2D/src/forward.cu:320-330): one pass computes the segment SUM of one
+column (MXU one-hot matmul) and the segment MAX of another (VPU masked
+max; contributions are >= 0 so the identity is 0). Replaces the
+jax.ops.segment_sum + segment_max pair, which XLA lowers as two
+per-row-priced scatters over the whole pair buffer.
+
 relayout map detail: out[astart[t] + j] = src[rawstart[t] + j] has
 per-tile constant shift delta[t] = astart[t] - rawstart[t] >= 0,
 nondecreasing in t, so source positions within a 16-chunk (2048-pair)
@@ -275,3 +284,124 @@ def segment_reduce_pairs(cols, starts: jax.Array, ends: jax.Array,
         interpret=interpret,
     )(blk_row0, blk_nwin, nvalid, sp, ep, src)
     return out[:, :p]
+
+
+# ---------------------------------------------------------------------------
+# segment_reduce_stats — contiguous-segment sum + max (contribution stats)
+# ---------------------------------------------------------------------------
+
+
+def _segment_stats_kernel(blk_row0, blk_nwin, nvalid,    # scalar prefetch
+                          starts, ends,                  # (1,1,TB) VMEM blocks
+                          src_hbm,                       # (R, 8, 128) ANY
+                          out_ref,                       # (8, TB) out block
+                          win, sem):                     # VMEM scratch + DMA
+    i = pl.program_id(0)
+    r0 = blk_row0[i]
+    s = starts[0]                               # (1, SEG_TB)
+    e = ends[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (LANE, 1), 0)
+    lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+
+    def body(w, carry):
+        acc_sum, acc_max = carry
+        row = r0 + w * SEG_WR
+        cp = pltpu.make_async_copy(src_hbm.at[pl.ds(row, SEG_WR)], win, sem)
+        cp.start()
+        cp.wait()
+        for r in range(SEG_WR):
+            pos = (row + r) * LANE + lane                 # (128, 1) int32
+            ohb = (pos >= s) & (pos < e)                  # (128, TB) bool
+            ok = ((row + r) * LANE + lane_row) < nvalid[0]     # (1, 128)
+            vals = jnp.where(ok, win[r], 0.0)             # (8, 128)
+            acc_sum = acc_sum + jax.lax.dot_general(
+                vals, ohb.astype(jnp.float32), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)      # (8, TB)
+            # Segment max of row 1 (contributions >= 0; identity 0).
+            mx = jnp.where(ohb, vals[1:2, :].T, 0.0)      # (128, TB)
+            acc_max = jnp.maximum(acc_max, jnp.max(mx, axis=0, keepdims=True))
+        return acc_sum, acc_max
+
+    acc_sum, acc_max = jax.lax.fori_loop(
+        0, blk_nwin[i], body,
+        (jnp.zeros((8, SEG_TB), jnp.float32),
+         jnp.zeros((1, SEG_TB), jnp.float32)))
+    out_ref[0:1, :] = acc_sum[0:1, :]
+    out_ref[1:2, :] = acc_max
+    out_ref[2:, :] = jnp.zeros((6, SEG_TB), jnp.float32)
+
+
+def segment_reduce_stats(sum_col: jax.Array, max_col: jax.Array,
+                         starts: jax.Array, ends: jax.Array,
+                         *, nvalid: jax.Array | None = None,
+                         interpret: bool = False):
+    """Segment SUM of ``sum_col`` and segment MAX of ``max_col`` (both >= 0).
+
+    Same contract as :func:`segment_reduce_pairs`: segments are contiguous
+    column ranges [starts[t], ends[t]) of the M axis, nondecreasing and
+    disjoint; used after sorting per-pair contribution columns by owning
+    triangle. Empty segments yield 0 for both reductions (the max identity
+    is 0 — matches the reference's ``atomicMaxFloat`` over alpha*T >= 0
+    initialized to zero, 2D/src/forward.cu:320-330 + auxiliary.h:350-356).
+
+    Args:
+        sum_col: (M,) f32, M % 128 == 0 — summed per segment.
+        max_col: (M,) f32 — maxed per segment (values must be >= 0).
+        starts / ends: (P,) int32 segment bounds.
+        nvalid: () int32 — columns at/after this index are zeroed before
+            either reduction (tail garbage guard).
+    Returns:
+        (sums, maxes): two (P,) f32 arrays.
+    """
+    m = sum_col.shape[0]
+    p = starts.shape[0]
+    assert m % LANE == 0
+    rows_src = m // LANE
+    r_pad = rows_src + SEG_WR
+    p_pad = _round_up(max(p, SEG_TB), SEG_TB)
+    n_blocks = p_pad // SEG_TB
+
+    zpad = jnp.zeros((SEG_WR * LANE,), jnp.float32)
+    zrow = jnp.zeros((r_pad, LANE), jnp.float32)
+    src = jnp.stack(
+        [jnp.concatenate([sum_col, zpad]).reshape(r_pad, LANE),
+         jnp.concatenate([max_col, zpad]).reshape(r_pad, LANE),
+         zrow, zrow, zrow, zrow, zrow, zrow], axis=1)    # (R, 8, 128)
+
+    sp = jnp.concatenate(
+        [starts, jnp.full((p_pad - p,), m, jnp.int32)]).astype(
+            jnp.int32).reshape(n_blocks, 1, SEG_TB)
+    ep = jnp.concatenate(
+        [ends, jnp.full((p_pad - p,), m, jnp.int32)]).astype(
+            jnp.int32).reshape(n_blocks, 1, SEG_TB)
+
+    if nvalid is None:
+        nvalid = jnp.int32(m)
+    nvalid = jnp.asarray(nvalid, jnp.int32).reshape(1)
+
+    blk_start = sp[:, 0, 0]
+    blk_end = ep[:, 0, -1]
+    blk_row0 = jnp.clip(blk_start // LANE, 0, rows_src)
+    blk_nwin = jnp.clip(
+        (blk_end - blk_row0 * LANE + SEG_WR * LANE - 1) // (SEG_WR * LANE),
+        0, (rows_src + SEG_WR - 1) // SEG_WR)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, 1, SEG_TB), lambda i, r0, nw, nv: (i, 0, 0)),
+            pl.BlockSpec((1, 1, SEG_TB), lambda i, r0, nw, nv: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((8, SEG_TB), lambda i, r0, nw, nv: (0, i)),
+        scratch_shapes=[pltpu.VMEM((SEG_WR, 8, LANE), jnp.float32),
+                        pltpu.SemaphoreType.DMA],
+    )
+    out = pl.pallas_call(
+        _segment_stats_kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((8, p_pad), jnp.float32),
+        interpret=interpret,
+    )(blk_row0, blk_nwin, nvalid, sp, ep, src)
+    return out[0, :p], out[1, :p]

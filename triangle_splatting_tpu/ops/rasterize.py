@@ -205,6 +205,30 @@ def _blend_bwd(static_cfg, res, cts):
 _blend.defvjp(_blend_fwd, _blend_bwd)
 
 
+def _contrib_stats(pair_contrib: jnp.ndarray, binning: Binning, P: int,
+                   interpret: bool) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-triangle (contrib_sum, contrib_max) from per-pair contributions.
+
+    Reproduces the forward-kernel atomics of the reference
+    (2D/src/forward.cu:320-330: ``contrib_sum += alpha*T`` via atomicAdd,
+    ``contrib_max`` via atomicMaxFloat) as an owner-sort + windowed
+    streaming segment reduction — the jax.ops.segment_sum/segment_max pair
+    lowers to two per-row-priced XLA scatters over the whole pair buffer
+    (PERF.md cost model), while a 2-payload sort + the Pallas kernel
+    streams at slab granularity. Exact under overflow for the same reason
+    as the pack backward (binning.tri_offsets comment).
+    """
+    from .pallas.streams import segment_reduce_stats
+    pc = jax.lax.stop_gradient(pair_contrib)                 # (2, MA)
+    key = jnp.where(binning.pair_valid, binning.pair_tri, P)
+    _, s_sum, s_max = jax.lax.sort((key, pc[0], pc[1]), num_keys=1,
+                                   is_stable=False)
+    starts = jnp.minimum(binning.tri_offsets[:-1], binning.num_pairs)
+    ends = jnp.minimum(binning.tri_offsets[1:], binning.num_pairs)
+    return segment_reduce_stats(s_sum, s_max, starts, ends,
+                                nvalid=binning.num_pairs, interpret=interpret)
+
+
 # ---------------------------------------------------------------------------
 # Public entry
 # ---------------------------------------------------------------------------
@@ -298,11 +322,8 @@ def rasterize(vertex: jnp.ndarray, opacity: jnp.ndarray,
 
     # Per-triangle contribution statistics (training-statistics consumers are
     # no-grad: src/forward.cu:320-330 computes these with atomics).
-    pc = jax.lax.stop_gradient(pair_contrib)                 # (2, MA)
-    seg = jnp.where(binning.pair_valid, binning.pair_tri, P)
-    contrib_sum = jax.ops.segment_sum(pc[0], seg, num_segments=P + 1)[:P]
-    contrib_max = jax.ops.segment_max(pc[1], seg, num_segments=P + 1)[:P]
-    contrib_max = jnp.maximum(contrib_max, 0.0)  # empty segments -> -inf
+    contrib_sum, contrib_max = _contrib_stats(pair_contrib, binning, P,
+                                              interpret)
 
     return dict(render=color, depth=depth, normal=normal,
                 radii=prep.radii, visible_mask=prep.radii > 0,
@@ -379,11 +400,8 @@ def rasterize_gaussian(xyz: jnp.ndarray, scale: jnp.ndarray,
     color, depth, normal, final_T, n_contrib, pair_contrib = _blend(
         fields, binning.tile_starts, binning.tile_counts, params, static_cfg)
 
-    pc = jax.lax.stop_gradient(pair_contrib)
-    seg = jnp.where(binning.pair_valid, binning.pair_tri, P)
-    contrib_sum = jax.ops.segment_sum(pc[0], seg, num_segments=P + 1)[:P]
-    contrib_max = jax.ops.segment_max(pc[1], seg, num_segments=P + 1)[:P]
-    contrib_max = jnp.maximum(contrib_max, 0.0)
+    contrib_sum, contrib_max = _contrib_stats(pair_contrib, binning, P,
+                                              interpret)
 
     return dict(render=color, depth=depth, normal=normal,
                 radii=prep.radii, visible_mask=prep.radii > 0,
