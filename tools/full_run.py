@@ -37,6 +37,12 @@ def main():
     ap.add_argument("--init_points", type=int, default=100_000)
     ap.add_argument("--adc", action="store_true",
                     help="ADC rehearsal: 20k init + densify/prune enabled")
+    ap.add_argument("--mesh", action="store_true",
+                    help="mesh/solidify rehearsal: NerfSynthetic_VanillaTS_"
+                    "mesh.yaml semantics (3D rasterizer, gamma 1->50, STE, "
+                    "contribution/scale pruning, GLB export) with the "
+                    "solidify/lr windows scaled to --iters (reference: 60k "
+                    "total, solidify 20k-40k)")
     ap.add_argument("--ckpt_every", type=int, default=5000,
                     help="checkpoint cadence (0 disables)")
     ap.add_argument("--resume", action="store_true",
@@ -65,7 +71,40 @@ def main():
         print(f"[full_run] dataset built in {time.time() - t0:.0f}s",
               flush=True)
 
-    if args.adc:
+    if args.mesh:
+        from triangle_splatting_tpu.utils.config import loadConfig
+        cfg = loadConfig(os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "config", "NerfSynthetic_VanillaTS_mesh.yaml"))
+        # Scale every iteration window by iters/60k (reference total;
+        # solidify 20k-40k, lr decay over 20k) so a shorter rehearsal keeps
+        # the reference's phase structure.
+        sc = args.iters / 60_000.0
+        s = lambda v: max(1, int(round(v * sc)))
+        for name in ("vertex", "opacity", "f_dc", "f_rest", "color_affine"):
+            opt = getattr(cfg.model.optimizer, name)
+            opt.delay_steps = s(opt.delay_steps)
+            opt.max_steps = s(opt.max_steps)
+        mu = cfg.model.model_update
+        mu.statistic.start_iter = s(mu.statistic.start_iter)
+        mu.statistic.end_iter = s(mu.statistic.end_iter)
+        for blk in (mu.scale_pruning, mu.contribution_pruning):
+            blk.start_iter = s(blk.start_iter)
+            blk.end_iter = s(blk.end_iter)
+        mu.gamma_schedule.start_iter = s(mu.gamma_schedule.start_iter)
+        mu.gamma_schedule.end_iter = s(mu.gamma_schedule.end_iter)
+        mu.sh_schedule.one_up_iters = [s(v) for v in
+                                       mu.sh_schedule.one_up_iters]
+        cfg.dataset.local_dir = data_dir
+        cfg.dataset.num_workers = 2
+        cfg.trainer.output_dir = os.path.join(args.root, "out")
+        cfg.trainer.iterations = args.iters
+        cfg.trainer.use_tensorboard = False
+        cfg.trainer.seed = 0
+        cfg.trainer.save_iterations = [s(20_000), args.iters]
+        cfg.trainer.checkpoint_iterations = [args.iters]
+        cfg.trainer.save_glb_iterations = [args.iters]
+    elif args.adc:
         from triangle_splatting_tpu.trainers.smoke import make_smoke_config
         cfg = make_smoke_config(data_dir, os.path.join(args.root, "out"),
                                 args.iters, densify=True)
@@ -124,7 +163,8 @@ def main():
     psnr1 = float(trainer._evaluate(args.iters))
 
     print(json.dumps({
-        "metric": "full_run_adc" if args.adc else "full_run_30k",
+        "metric": ("full_run_mesh" if args.mesh
+                   else "full_run_adc" if args.adc else "full_run_30k"),
         "res": args.res, "iters": args.iters,
         "gt_triangles": args.n_tri,
         "psnr_init": round(psnr0, 2), "psnr_final": round(psnr1, 2),
