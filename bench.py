@@ -61,13 +61,18 @@ def main():
     # (reallocated to the exact pair count every frame): probe one frame at
     # a roomy budget, then re-quantize. Sort/pack/scatter costs scale with
     # the budget, so benching an oversized buffer would measure padding.
+    # rich_info=False: the benchmarked workload is photo training (L1 on
+    # color), which never consumes depth/normal — the trainers skip that
+    # kernel work (trainers/vanilla_ts.py::_settings_for), and the 3DGS
+    # throughput anchor is likewise color-only. PERF.md records both modes.
     from triangle_splatting_tpu.trainers.adc_utils import adapt_pair_budget
     probe = make_step(RasterSettings(image_width=W, image_height=W,
-                                     pairs_per_triangle=6))
+                                     rich_info=False, pairs_per_triangle=6))
     _, (overflow, num_pairs) = jax.block_until_ready(probe(v, o, c))
     assert not bool(overflow), "probe pair budget overflow"
     ppt = adapt_pair_budget(6.0, int(num_pairs), P, False)
     fwd_bwd = make_step(RasterSettings(image_width=W, image_height=W,
+                                       rich_info=False,
                                        pairs_per_triangle=ppt))
 
     # warmup/compile; verify the sized budget holds

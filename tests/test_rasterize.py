@@ -143,6 +143,96 @@ class TestBackwardParity:
         assert float(jnp.abs(g_p[1]).max()) > 0
 
 
+class TestNonRichParity:
+    """rich_info=False (color-only training: every shipped config except
+    MatrixCity_mesh — trainers skip the depth/normal kernel work) must
+    reproduce rich_info=True exactly on color and on color-driven
+    gradients; only depth/normal outputs differ (background-only)."""
+
+    @pytest.mark.parametrize("rtype", ["2D", "3D"])
+    def test_color_and_grads_match_rich(self, rtype):
+        P = 120
+        scene = make_random_scene(P, seed=11)
+        target = jnp.asarray(
+            np.random.default_rng(3).uniform(size=(3, 64, 64)), jnp.float32)
+
+        def run(rich):
+            settings = RasterSettings(image_width=64, image_height=64,
+                                      rich_info=rich, rasterizer_type=rtype)
+
+            def loss_fn(vertex, opacity, rgb):
+                out = rasterize(vertex, opacity, None, CAM, settings,
+                                gamma=1.7, background=jnp.ones(3),
+                                bg_depth=10.0, colors=rgb,
+                                impl="pallas", interpret=True)
+                return jnp.abs(out["render"] - target).mean(), out
+
+            (loss, out), g = jax.value_and_grad(
+                loss_fn, argnums=(0, 1, 2), has_aux=True)(
+                jnp.asarray(scene["vertex"]), jnp.asarray(scene["opacity"]),
+                jnp.asarray(scene["rgb"]))
+            return loss, out, g
+
+        loss_r, out_r, g_r = run(True)
+        loss_n, out_n, g_n = run(False)
+        np.testing.assert_allclose(np.asarray(out_n["render"]),
+                                   np.asarray(out_r["render"]),
+                                   rtol=0, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out_n["final_T"]),
+                                   np.asarray(out_r["final_T"]),
+                                   rtol=0, atol=1e-6)
+        assert np.array_equal(np.asarray(out_n["n_contrib"]),
+                              np.asarray(out_r["n_contrib"]))
+        np.testing.assert_allclose(np.asarray(out_n["contrib_sum"]),
+                                   np.asarray(out_r["contrib_sum"]),
+                                   rtol=0, atol=1e-6)
+        for name, gr, gn in zip(["vertex", "opacity", "rgb"], g_r, g_n):
+            ref = max(float(jnp.abs(gr).max()), 1e-12)
+            rel = float(jnp.abs(gr - gn).max()) / ref
+            assert rel < 1e-5, (name, rel)
+        assert float(jnp.abs(g_n[0]).max()) > 0
+
+    def test_gs_color_and_grads_match_rich(self):
+        from triangle_splatting_tpu.ops.rasterize import rasterize_gaussian
+        P = 100
+        rng = np.random.default_rng(5)
+        xyz = rng.uniform(-0.6, 0.6, size=(P, 3)).astype(np.float32)
+        xyz[:, 2] += 2.5
+        scale = rng.uniform(0.02, 0.1, size=(P, 3)).astype(np.float32)
+        rot = rng.normal(size=(P, 4)).astype(np.float32)
+        rot /= np.linalg.norm(rot, axis=1, keepdims=True)
+        opac = rng.uniform(0.3, 0.9, size=(P,)).astype(np.float32)
+        rgb = rng.uniform(size=(P, 3)).astype(np.float32)
+        target = jnp.asarray(rng.uniform(size=(3, 64, 64)), jnp.float32)
+
+        def run(rich):
+            settings = RasterSettings(image_width=64, image_height=64,
+                                      rich_info=rich)
+
+            def loss_fn(xyz_, scale_, opac_, rgb_):
+                out = rasterize_gaussian(
+                    xyz_, scale_, jnp.asarray(rot), opac_, None, CAM,
+                    settings, gamma=1.0, background=jnp.ones(3),
+                    bg_depth=10.0, colors=rgb_, interpret=True)
+                return jnp.abs(out["render"] - target).mean(), out["render"]
+
+            (loss, img), g = jax.value_and_grad(
+                loss_fn, argnums=(0, 1, 2, 3), has_aux=True)(
+                jnp.asarray(xyz), jnp.asarray(scale), jnp.asarray(opac),
+                jnp.asarray(rgb))
+            return img, g
+
+        img_r, g_r = run(True)
+        img_n, g_n = run(False)
+        np.testing.assert_allclose(np.asarray(img_n), np.asarray(img_r),
+                                   rtol=0, atol=1e-6)
+        for name, gr, gn in zip(["xyz", "scale", "opacity", "rgb"], g_r, g_n):
+            ref = max(float(jnp.abs(gr).max()), 1e-12)
+            rel = float(jnp.abs(gr - gn).max()) / ref
+            assert rel < 1e-5, (name, rel)
+        assert float(jnp.abs(g_n[0]).max()) > 0
+
+
 class Test3DVariant:
     SETTINGS3 = RasterSettings(image_width=64, image_height=64,
                                rasterizer_type="3D")

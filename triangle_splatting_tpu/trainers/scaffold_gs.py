@@ -141,6 +141,8 @@ class ScaffoldGSTrainer(BaseTrainer):
         return RasterSettings(
             image_width=camera.image_width, image_height=camera.image_height,
             max_sh_degree=0,
+            # neural-gaussian losses/stats never read depth/normal
+            rich_info=False,
             pairs_per_triangle=self._ppt)
 
     def _camera_loss(self, settings, p, m2d, state, camera, background,

@@ -116,6 +116,10 @@ class VanillaGSTrainer(BaseTrainer):
         return RasterSettings(
             image_width=camera.image_width, image_height=camera.image_height,
             max_sh_degree=self.model_cfg.max_sh_degree,
+            # no GS loss/stat consumes depth or normal (contrib stats come
+            # from the pair-contrib stream, not rich outputs) — skip the
+            # rich accumulation work in both kernels
+            rich_info=False,
             pairs_per_triangle=self._ppt)
 
     def _camera_loss(self, settings, p, m2d, state, camera, background,

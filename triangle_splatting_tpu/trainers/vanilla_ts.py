@@ -150,11 +150,21 @@ class VanillaTSTrainer(BaseTrainer):
     def _settings_for(self, camera: Camera) -> RasterSettings:
         if not hasattr(self, "_ppt"):
             self._ppt = self.config.model.pairs_per_triangle or 6
+            # Depth/normal accumulation (rich_info) costs real kernel time
+            # but only the depth-normal-consistency loss consumes it; every
+            # shipped config except MatrixCity_mesh sets w_geometry 0. The
+            # reference always runs rich during training
+            # (VanillaTS_model.py:639 rich_info=is_training) — skipping
+            # dead work is free speedup, and eval/stats only read color/
+            # contribs. Static per run, so no extra jit variants.
+            geo = self.config.trainer.geometry_loss
+            self._rich = bool(geo is not None and (geo.w_geometry or 0) > 0)
         return RasterSettings(
             image_width=camera.image_width, image_height=camera.image_height,
             max_sh_degree=self.model_cfg.max_sh_degree,
             back_culling=self.model_cfg.back_culling,
             rasterizer_type=self.model_cfg.rasterizer_type,
+            rich_info=self._rich,
             pairs_per_triangle=self._ppt)
 
     # ------------------------------------------------------------------
