@@ -65,6 +65,28 @@ def main():
     big = np.random.rand(800, 800, 3).astype(np.float32)
     bench("device_put 7.7MB", lambda: jax.device_put(big), iters=10)
 
+    # (e) train-step-shaped arity: ~40 device-resident buffers in, ~30 out
+    # (params/opt/state pytrees). Measures the per-execute floor that the
+    # full_run phase timer bills as "train step" (~11 ms/iter @20k iters).
+    k_in = 40
+    bufs = [jax.device_put(np.random.rand(256, 16).astype(np.float32))
+            for _ in range(k_in)]
+    jax.block_until_ready(bufs)
+
+    @jax.jit
+    def wide(*xs):
+        return tuple(x + 1.0 for x in xs[:30])
+
+    wide(*bufs)[0].block_until_ready()
+    bench("40 dev arrays -> 30 outs", lambda: wide(*bufs)[0])
+
+    @jax.jit
+    def narrow(x):
+        return x + 1.0
+
+    narrow(bufs[0]).block_until_ready()
+    bench("1 dev array -> 1 out", lambda: narrow(bufs[0]))
+
 
 if __name__ == "__main__":
     import os

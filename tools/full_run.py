@@ -43,6 +43,9 @@ def main():
                     "contribution/scale pruning, GLB export) with the "
                     "solidify/lr windows scaled to --iters (reference: 60k "
                     "total, solidify 20k-40k)")
+    ap.add_argument("--grad_threshold", type=float, default=1.5e-4,
+                    help="--adc densify threshold (the densify log prints "
+                    "the observed grad-stat quantiles to set this from)")
     ap.add_argument("--ckpt_every", type=int, default=5000,
                     help="checkpoint cadence (0 disables)")
     ap.add_argument("--resume", action="store_true",
@@ -117,6 +120,14 @@ def main():
         mu.densification.min_view_count = 10
         mu.opacity_pruning.start_iter = 1000
         mu.opacity_pruning.interval_iter = 500
+        # The smoke thresholds (0.0006 -> 0.0003, mirroring the reference's
+        # commented-out blocks) never fire at 800² — measured per-view
+        # center2D gradient means sit below 5.4e-4 once the 20k init fits
+        # the scene — so the growth/recompile machinery this rehearsal
+        # exists to prove would go unexercised. Lower them so densify
+        # actually grows toward capacity.
+        mu.densification.grad_threshold_init = args.grad_threshold
+        mu.densification.grad_threshold_final = args.grad_threshold * 2 / 3
         cfg.trainer.eval_interval_iter = 2000
         cfg.trainer.log_interval_iter = 250
         cfg.model.max_sh_degree = 3

@@ -74,6 +74,23 @@ class VanillaTSTrainer(BaseTrainer):
         # Jitted ADC ops (eager per-op dispatch is pathologically slow on the
         # remote-compile TPU path; these run every few hundred iterations).
         self._j_densify = jax.jit(M.densify, static_argnums=(4,))
+
+        def _densify_stats(state, min_view_count):
+            """[p50, p99, max, n_eligible] of the per-view center2D
+            gradient-norm means the densify threshold is compared against
+            — logged so thresholds can be set from data, not guessed."""
+            ok = state.alive & (state.gradient_denom >= min_view_count)
+            g = jnp.where(ok, state.gradient_accum
+                          / jnp.maximum(state.gradient_denom, 1.0), 0.0)
+            srt = jnp.sort(g)
+            cnt = ok.sum()
+            C = g.shape[0]
+            at = lambda q: srt[jnp.clip(C - 1 - (cnt * q).astype(jnp.int32),
+                                        0, C - 1)]
+            return jnp.stack([at(0.5), at(0.01), srt[-1],
+                              cnt.astype(jnp.float32)])
+
+        self._j_densify_stats = jax.jit(_densify_stats, static_argnums=(1,))
         self._j_opacity_pruning = jax.jit(M.opacity_pruning)
         self._j_opacity_clipping = jax.jit(M.opacity_clipping)
         self._j_scale_pruning = jax.jit(M.scale_pruning)
@@ -520,13 +537,18 @@ class VanillaTSTrainer(BaseTrainer):
         d = mu.densification
         if active(d):
             thr = self.grad_threshold_scheduler(iteration - d.start_iter)
+            stats = np.asarray(self._j_densify_stats(
+                self.state, d.min_view_count))   # before densify resets them
             self.params, self.opt, self.state, n, overflow = self._j_densify(
                 self.params, self.opt, self.state, _f32(thr),
                 d.min_view_count, _f32(d.split_scale_threshold))
             if bool(overflow):
                 self._grow_capacity()
-            self.logger.info(f"[ITER {iteration}, densification] grew {int(n)} "
-                             f"points, threshold {thr:.5f}")
+            self.logger.info(
+                f"[ITER {iteration}, densification] grew {int(n)} points, "
+                f"threshold {thr:.5f} (grad-stat p50 {stats[0]:.2e} "
+                f"p99 {stats[1]:.2e} max {stats[2]:.2e}, {int(stats[3])} "
+                "eligible)")
 
         op = mu.opacity_pruning
         if op is not None and op.start_iter < iteration <= (op.hold_iter or op.end_iter) \
