@@ -340,12 +340,16 @@ class TestAdaptPairBudget:
 
     def test_shrinks_to_need_with_margin(self):
         from triangle_splatting_tpu.trainers.adc_utils import adapt_pair_budget
-        # 270k pairs over 100k primitives: need = 1.3 * 2.7 = 3.51 -> 3.5
-        assert adapt_pair_budget(6.0, 270_000, 100_000, False) == 3.5
+        # 270k pairs over 100k primitives: need = 1.3 * 2.7 = 3.51 -> 3.5,
+        # and 3.5 < 0.5 * 8.0 clears the hysteresis gate
+        assert adapt_pair_budget(8.0, 270_000, 100_000, False) == 3.5
 
     def test_hysteresis_no_small_shrinks(self):
         from triangle_splatting_tpu.trainers.adc_utils import adapt_pair_budget
-        # need 3.5 is NOT < 0.75 * 4.0 -> keep the current budget
+        # need 3.5 is NOT < 0.5 * 6.0 -> keep the current budget (an eager
+        # shrink during densification is often undone by an overflow
+        # doubling two recompiles later — see adapt_pair_budget docstring)
+        assert adapt_pair_budget(6.0, 270_000, 100_000, False) == 6.0
         assert adapt_pair_budget(4.0, 270_000, 100_000, False) == 4.0
 
     def test_floor_and_none_used(self):

@@ -87,6 +87,31 @@ def main():
     narrow(bufs[0]).block_until_ready()
     bench("1 dev array -> 1 out", lambda: narrow(bufs[0]))
 
+    # (g) the train-loop pattern: outputs of call i ARE the inputs of call
+    # i+1 (params/opt/state carry), with donation. If output handles only
+    # materialize on the remote enqueue-ack, every dispatch eats one RPC
+    # round trip — the case K-steps-per-dispatch chaining would amortize.
+    def chain(donate, label, iters=30):
+        f = jax.jit(lambda *xs: tuple(x + 1.0 for x in xs),
+                    donate_argnums=tuple(range(k_in)) if donate else ())
+        state = tuple(jax.device_put(np.random.rand(256, 16).astype(np.float32))
+                      for _ in range(k_in))
+        state = f(*state)          # warm compile
+        jax.block_until_ready(state)
+        state = tuple(jnp.asarray(np.asarray(s)) for s in state)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state = f(*state)
+        dispatch_ms = (time.perf_counter() - t0) / iters * 1e3
+        jax.block_until_ready(state)
+        total_ms = (time.perf_counter() - t0) / iters * 1e3
+        print(f"{label:34s} dispatch {dispatch_ms:7.2f} ms   "
+              f"incl-drain {total_ms:7.2f} ms", flush=True)
+
+    import jax.numpy as jnp
+    chain(False, "40-buf dependent chain")
+    chain(True, "40-buf dependent chain, donated")
+
 
 if __name__ == "__main__":
     import os

@@ -33,7 +33,7 @@ def resolve_contribution_pruning(cp, iteration: int):
 def adapt_pair_budget(ppt: float, used: int | None, count: int,
                       overflow: bool, *, max_ppt: float = 32.0,
                       margin: float = 1.3,
-                      shrink_if_below: float = 0.75) -> float:
+                      shrink_if_below: float = 0.5) -> float:
     """Need-based pair-budget adaptation shared by the trainers and bench.
 
     The reference reallocates its binning buffers to the EXACT pair count
@@ -44,6 +44,13 @@ def adapt_pair_budget(ppt: float, used: int | None, count: int,
     the buffer. Both moves JUMP rather than step — every budget change
     costs one recompile. Pass ``used=None`` when the measured pair count is
     not plumbed (DP aux paths): adaptation is then grow-only.
+
+    ``shrink_if_below`` is deliberately conservative (0.5): during
+    densification the pair count climbs, and an eager shrink is often
+    followed within a few hundred iters by an overflow DOUBLING — two
+    recompiles to land near the starting budget (observed in the 800²
+    ADC rehearsal at 0.75: 9.0 -> 6.375 -> overflow -> 12.75). Halving
+    the threshold bounds wasted buffer at 2x measured need.
 
     Returns the new pairs-per-primitive budget (may equal ``ppt``).
     """

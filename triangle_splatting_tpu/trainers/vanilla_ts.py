@@ -546,7 +546,7 @@ class VanillaTSTrainer(BaseTrainer):
                 self._grow_capacity()
             self.logger.info(
                 f"[ITER {iteration}, densification] grew {int(n)} points, "
-                f"threshold {thr:.5f} (grad-stat p50 {stats[0]:.2e} "
+                f"threshold {thr:.3e} (grad-stat p50 {stats[0]:.2e} "
                 f"p99 {stats[1]:.2e} max {stats[2]:.2e}, {int(stats[3])} "
                 "eligible)")
 
