@@ -137,6 +137,29 @@ class TestMeshTrainerE2E:
 
 
 class TestGSTrainerE2E:
+    def test_contribution_pruning_null_target_actionable(
+            self, synthetic_dataset, tmp_path):
+        """The shipped mesh YAMLs have target_point_num: null (the
+        run_experiments presets inject per-scene targets); activating
+        contribution pruning without one must raise an actionable error,
+        not the reference's bare TypeError (VanillaTS_model.py:499)."""
+        import pytest
+        from triangle_splatting_tpu.trainers.vanilla_ts import VanillaTSTrainer
+        from triangle_splatting_tpu.utils.config import dict_to_config
+        cfg = make_config(synthetic_dataset, tmp_path / "out", iters=10)
+        cfg.model.model_update = dict_to_config({
+            "statistic": {"start_iter": 0, "end_iter": 10},
+            "contribution_pruning": {
+                "start_iter": 0, "end_iter": 10, "interval_iter": 5,
+                "min_view_count": 1, "target_point_num": None,
+                "prune_ratio": 0.15, "max_prune_ratio": 0.2,
+                "contrib_max_ratio": 0.1, "sparsity_retain_ratio": 0.0},
+        })
+        trainer = VanillaTSTrainer(cfg, impl="oracle", log_file=False)
+        trainer._init_model()
+        with pytest.raises(ValueError, match="target_point_num"):
+            trainer._model_update(5)
+
     def test_gs_loss_decreases_and_io(self, synthetic_dataset, tmp_path):
         """VanillaGS loop: init from point cloud, densify + opacity prune
         cadences fire, PSNR improves, PLY reloads (3DGS schema)."""

@@ -98,6 +98,12 @@ def main():
         mu.gamma_schedule.end_iter = s(mu.gamma_schedule.end_iter)
         mu.sh_schedule.one_up_iters = [s(v) for v in
                                        mu.sh_schedule.one_up_iters]
+        # The yaml ships target_point_num: null as a placeholder the
+        # run_experiments presets always override (lego 112k, ...) —
+        # pick a target below the scene's natural STE count (~12k on the
+        # 100k-GT synthetic) so the pruning path actually exercises.
+        mu.contribution_pruning.target_point_num = max(2000,
+                                                       args.n_tri // 10)
         cfg.dataset.local_dir = data_dir
         cfg.dataset.num_workers = 2
         cfg.trainer.output_dir = os.path.join(args.root, "out")

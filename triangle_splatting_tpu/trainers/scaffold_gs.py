@@ -448,10 +448,12 @@ class ScaffoldGSTrainer(BaseTrainer):
             self._anchor_update(iteration)
             if cfgt.log_interval_iter and \
                     iteration % cfgt.log_interval_iter == 0:
-                timer.log("logging")
-                # TWO d2h fetches: step [loss, n_gaussians, num_pairs,
-                # overflow] + post-update [anchors] (trainers/scalar_pack.py)
+                # the log-vec fetch drains every queued step — bill that
+                # wait as device compute (see vanilla_ts.py)
+                timer.log("device drain")
                 lv = np.asarray(aux["log_vec"])
+                timer.log("logging")
+                # second d2h fetch: post-update [anchors] (scalar_pack.py)
                 anchors = int(np.asarray(self._count_vec(self.state))[0])
                 self.logger.info(
                     f"[ITER {iteration}] Loss: {lv[0]:.5f}, Anchor "

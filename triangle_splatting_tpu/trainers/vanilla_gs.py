@@ -362,6 +362,12 @@ class VanillaGSTrainer(BaseTrainer):
                                     resolve_contribution_pruning)
             target, ratio, prune_ratio, retain = \
                 resolve_contribution_pruning(cp, iteration)
+            if target is None:
+                raise ValueError(
+                    "model.model_update.contribution_pruning.target_point_"
+                    "num is null — set it (run_experiments.py mesh presets "
+                    "provide per-scene targets) or add a downsample "
+                    "schedule before contribution pruning activates.")
             ipd = None
             if retain > 0:
                 ipd = alive_inter_point_dist(self.params.xyz,
@@ -457,10 +463,12 @@ class VanillaGSTrainer(BaseTrainer):
             timer.log("model update")
             self._model_update(iteration)
             if cfgt.log_interval_iter and iteration % cfgt.log_interval_iter == 0:
-                timer.log("logging")
-                # TWO d2h fetches: step [loss, num_pairs, overflow] +
-                # post-update [alive] (trainers/scalar_pack.py)
+                # the log-vec fetch drains every queued step — bill that
+                # wait as device compute (see vanilla_ts.py)
+                timer.log("device drain")
                 lv = np.asarray(aux["log_vec"])
+                timer.log("logging")
+                # second d2h fetch: post-update [alive] (scalar_pack.py)
                 count = int(np.asarray(self._count_vec(self.state))[0])
                 self.logger.info(f"[ITER {iteration}] Loss: {lv[0]:.5f}, "
                                  f"Gaussians: {count}")

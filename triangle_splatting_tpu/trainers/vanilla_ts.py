@@ -591,6 +591,18 @@ class VanillaTSTrainer(BaseTrainer):
                                     resolve_contribution_pruning)
             target, ratio, prune_ratio, retain = \
                 resolve_contribution_pruning(cp, iteration)
+            if target is None:
+                # The reference crashes here too (None * 0.99,
+                # VanillaTS_model.py:499): its mesh YAMLs ship
+                # target_point_num: null as a placeholder that
+                # run_experiments.py's per-scene presets always override
+                # (lego 112k etc.). Fail with the fix spelled out.
+                raise ValueError(
+                    "model.model_update.contribution_pruning.target_point_"
+                    "num is null — set it (run_experiments.py mesh presets "
+                    "provide per-scene targets, e.g. --point_num) or add a "
+                    "downsample schedule before contribution pruning "
+                    "activates.")
             ipd = None
             if retain > 0:
                 ipd = alive_inter_point_dist(M.get_xyz(self.params),
@@ -759,11 +771,17 @@ class VanillaTSTrainer(BaseTrainer):
             self._model_update(iteration)
 
             if cfgt.log_interval_iter and iteration % cfgt.log_interval_iter == 0:
+                # The log-vector fetch is the loop's SYNC POINT: it blocks
+                # until every step queued since the last log completes, so
+                # that wait is device compute, not logging work — bill it to
+                # its own channel or the report misreads (r2 full run:
+                # "logging 59.7%" was queued train steps draining).
+                timer.log("device drain")
+                lv = np.asarray(aux["log_vec"])
                 timer.log("logging")
                 # TWO d2h fetches for all log scalars: the step's
                 # [loss, num_pairs, overflow] plus post-update
                 # [count, gamma, SH] (trainers/scalar_pack.py)
-                lv = np.asarray(aux["log_vec"])
                 cv = np.asarray(self._count_vec(self.params, self.state))
                 loss_val, count, gamma = float(lv[0]), int(cv[0]), float(cv[1])
                 self.logger.info(
