@@ -109,9 +109,10 @@ def triangle_field_matrix_3d(prep: Preprocessed3D, opacity: jnp.ndarray,
     return jnp.where(prep.valid[:, None], fields, 0.0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def pack_pair_fields(field_matrix: jnp.ndarray, binning: Binning,
-                     interpret: bool = False) -> jnp.ndarray:
+                     interpret: bool = False,
+                     live_rows: int = 16) -> jnp.ndarray:
     """ONE gather of the per-triangle field matrix into sorted pair order.
 
     TPU gathers cost ~10ms/M rows regardless of row width, so packing does a
@@ -134,17 +135,27 @@ def pack_pair_fields(field_matrix: jnp.ndarray, binning: Binning,
     latency-bound as its scatter (~3.2 ms per 480k rows) and the (MA, 16)
     cumsum adds two more full passes. The Pallas streaming kernel is what
     makes the sorted form pay.
+
+    ``live_rows``: static count of leading cotangent rows that can be
+    nonzero. The blend backward emits structurally-zero gradient rows for
+    fields no output consumed (e.g. depth/normal coefficient rows 10-15
+    when ``rich_info=False`` — pallas/blend.py ``_bwd_kernel`` builds gmat
+    with explicit zero blocks there), and sort payload columns are NOT free
+    beyond the first two (PERF.md cost model: ~0.13 ms/payload @480k), so
+    the backward sorts only the live rows and feeds literal zeros for the
+    rest.
     """
     rows = field_matrix[jnp.maximum(binning.pair_tri, 0)]    # (MA, 16)
     rows = jnp.where(binning.pair_valid[:, None], rows, 0.0)
     return rows.T                                            # (16, MA)
 
 
-def _pack_fwd(field_matrix, binning, interpret):
-    return pack_pair_fields(field_matrix, binning, interpret), binning
+def _pack_fwd(field_matrix, binning, interpret, live_rows):
+    return pack_pair_fields(field_matrix, binning, interpret, live_rows), \
+        binning
 
 
-def _pack_bwd(interpret, binning, d):
+def _pack_bwd(interpret, live_rows, binning, d):
     from .pallas.streams import segment_reduce_pairs
     num_pairs = binning.num_pairs
     p = binning.tri_offsets.shape[0] - 1
@@ -154,11 +165,16 @@ def _pack_bwd(interpret, binning, d):
     # sentinel ``p`` and sort to the tail at positions >= num_pairs, where
     # the segment bounds (clipped to num_pairs) never reach them and the
     # kernel's nvalid select zeroes their (possibly NaN) columns.
+    # Only the ``live_rows`` leading rows ride the sort as payloads — the
+    # rest are structural zeros of the blend backward (see docstring).
     key = jnp.where(binning.pair_tri >= 0, binning.pair_tri, p)
-    srt = jax.lax.sort((key,) + tuple(d), num_keys=1, is_stable=False)
+    srt = jax.lax.sort((key,) + tuple(d[:live_rows]), num_keys=1,
+                       is_stable=False)
     starts = jnp.minimum(binning.tri_offsets[:-1], num_pairs)
     ends = jnp.minimum(binning.tri_offsets[1:], num_pairs)
-    d16 = segment_reduce_pairs(list(srt[1:]), starts, ends,
+    zero = jnp.zeros_like(d[0])
+    cols = list(srt[1:]) + [zero] * (16 - live_rows)
+    d16 = segment_reduce_pairs(cols, starts, ends,
                                nvalid=num_pairs,
                                interpret=interpret)          # (16, P)
     d_binning = jax.tree_util.tree_map(
@@ -302,13 +318,15 @@ def rasterize(vertex: jnp.ndarray, opacity: jnp.ndarray,
     if variant == "2D":
         fmat = triangle_field_matrix(prep, opac1)
         sx = sy = jnp.zeros((), jnp.float32)
+        live_rows = 16 if settings.rich_info else 10
     else:
         fmat = triangle_field_matrix_3d(prep, opac1, camera.tan_fovx,
                                         camera.tan_fovy, settings.image_width,
                                         settings.image_height)
         sx = settings.image_width / (2.0 * camera.tan_fovx)
         sy = settings.image_height / (2.0 * camera.tan_fovy)
-    fields = pack_pair_fields(fmat, binning, interpret)
+        live_rows = 14 if settings.rich_info else 13
+    fields = pack_pair_fields(fmat, binning, interpret, live_rows)
     params = jnp.concatenate([gamma[None], background, bg_depth[None],
                               jnp.asarray(sx, jnp.float32).reshape(1),
                               jnp.asarray(sy, jnp.float32).reshape(1),
@@ -390,8 +408,10 @@ def rasterize_gaussian(xyz: jnp.ndarray, scale: jnp.ndarray,
     binning = bin_triangles(prep_ng, settings, max_pairs, align=SLAB,
                             interpret=interpret)
 
+    # GS backward gmat rows: GX GY GA GB GC2 0 GOP rgb GDEP 0*5 — GDEP (10)
+    # only when rich (pallas/blend.py GS branch).
     fields = pack_pair_fields(gaussian_field_matrix(prep, opac1), binning,
-                               interpret)
+                              interpret, 11 if settings.rich_info else 10)
     params = jnp.concatenate([gamma[None], background, bg_depth[None],
                               jnp.zeros(3, jnp.float32)])
     static_cfg = (settings.image_width, settings.image_height,
