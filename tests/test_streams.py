@@ -284,3 +284,42 @@ class TestPackBackward:
         want = np.zeros((P, 16), np.float32)
         np.add.at(want, np.maximum(np.asarray(binning.pair_tri), 0), d_rows)
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    def test_pack_vjp_live_rows_slicing(self):
+        """live_rows < 16 must reproduce the full-16 backward when the
+        cotangent's trailing rows are zero (the rich_info=False contract:
+        the blend backward emits structural zeros there)."""
+        import jax.numpy as jnp
+        from triangle_splatting_tpu.ops.binning import bin_triangles
+        from triangle_splatting_tpu.ops.projection import (RasterSettings,
+                                                           preprocess_2d)
+        from triangle_splatting_tpu.ops.rasterize import (pack_pair_fields,
+                                                          triangle_field_matrix)
+        from triangle_splatting_tpu.utils.testing import (make_camera,
+                                                          make_random_scene)
+        P = 300
+        settings = RasterSettings(image_width=160, image_height=96)
+        cam = make_camera(160, 96, 60.0)
+        s = make_random_scene(P, seed=11)
+        prep = preprocess_2d(jnp.asarray(s["vertex"]), jnp.zeros((P, 2)),
+                             jnp.asarray(s["rgb"]), cam.world_view,
+                             cam.full_proj, cam.tan_fovx, cam.tan_fovy,
+                             settings)
+        binning = bin_triangles(prep, settings, max_pairs=128 * 24,
+                                interpret=True)
+        opac = np.asarray(s["opacity"])
+        opac = opac[:, 0] if opac.ndim == 2 else opac
+        fmat = triangle_field_matrix(prep, jnp.asarray(opac))
+        rng = np.random.default_rng(7)
+        for live in (10, 11, 13, 14):
+            ct = rng.normal(size=(16, binning.pair_tri.shape[0])) \
+                .astype(np.float32)
+            ct[live:] = 0.0                       # the rich=False contract
+            ct = jnp.asarray(ct)
+            _, vjp_full = jax.vjp(
+                lambda f: pack_pair_fields(f, binning, True, 16), fmat)
+            _, vjp_live = jax.vjp(
+                lambda f: pack_pair_fields(f, binning, True, live), fmat)
+            np.testing.assert_allclose(
+                np.asarray(vjp_live(ct)[0]), np.asarray(vjp_full(ct)[0]),
+                rtol=0, atol=0, err_msg=f"live_rows={live}")
