@@ -356,3 +356,86 @@ class TestRaggedImageSizes:
             # scales with the gradient magnitude, not elementwise.
             scale = float(np.abs(np.asarray(b)).max())
             np.testing.assert_allclose(a, b, rtol=5e-2, atol=5e-3 * scale)
+
+
+class TestLiveRows:
+    """LIVE_GRAD_ROWS (pallas/blend.py) vs full-16 sort, end to end.
+
+    The pack backward sorts only the leading ``live_rows`` cotangent rows
+    and feeds literal zeros for the rest (rasterize.py::_pack_bwd), trusting
+    the table next to the gmat construction. These tests run jax.grad
+    through the REAL blend backward twice — table value vs forced 16 — for
+    every (variant, rich) combination, with a loss that consumes every
+    rich output, so a gmat change that populates a declared-dead row makes
+    the comparison fail instead of silently dropping that gradient.
+    """
+
+    def _compare(self, monkeypatch, variant, rich, grads_fn):
+        from triangle_splatting_tpu.ops.pallas import blend as blend_mod
+        table = blend_mod.LIVE_GRAD_ROWS[(variant, rich)]
+        g_table = grads_fn()
+        monkeypatch.setitem(blend_mod.LIVE_GRAD_ROWS, (variant, rich), 16)
+        g_full = grads_fn()
+        for a, b in zip(g_table, g_full):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=0, atol=0,
+                                       err_msg=f"{variant} rich={rich} "
+                                               f"live_rows={table}")
+
+    @pytest.mark.parametrize("variant", ["2D", "3D"])
+    @pytest.mark.parametrize("rich", [False, True])
+    def test_triangle_variants(self, monkeypatch, variant, rich):
+        scene = make_random_scene(60, seed=5)
+        settings = RasterSettings(image_width=64, image_height=64,
+                                  rasterizer_type=variant, rich_info=rich,
+                                  pairs_per_triangle=8)
+        v = jnp.asarray(scene["vertex"])
+        o = jnp.asarray(scene["opacity"])
+        c = jnp.asarray(scene["rgb"])
+
+        def grads_fn():
+            def loss_fn(vertex, opacity, rgb):
+                out = rasterize(vertex, opacity, None, CAM, settings,
+                                gamma=1.7, background=jnp.ones(3),
+                                bg_depth=10.0, colors=rgb, impl="pallas",
+                                interpret=True)
+                loss = (out["render"] ** 2).sum() + out["final_T"].sum()
+                if rich:
+                    loss = loss + out["depth"].sum() + (out["normal"] ** 2).sum()
+                return loss
+            return jax.grad(loss_fn, argnums=(0, 1, 2))(v, o, c)
+
+        self._compare(monkeypatch, variant, rich, grads_fn)
+
+    @pytest.mark.parametrize("rich", [False, True])
+    def test_gs_variant(self, monkeypatch, rich):
+        from triangle_splatting_tpu.ops.rasterize import rasterize_gaussian
+        rng = np.random.default_rng(7)
+        n = 80
+        xyz = jnp.asarray(np.stack([rng.uniform(-1.5, 1.5, n),
+                                    rng.uniform(-1.5, 1.5, n),
+                                    rng.uniform(3, 6, n)], -1), jnp.float32)
+        scale = jnp.asarray(rng.uniform(0.03, 0.15, (n, 3)), jnp.float32)
+        q = rng.normal(size=(n, 4))
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        q = jnp.asarray(q, jnp.float32)
+        opac = jnp.asarray(rng.uniform(0.3, 0.95, n), jnp.float32)
+        rgb = jnp.asarray(rng.uniform(0.05, 0.95, (n, 3)), jnp.float32)
+        settings = RasterSettings(image_width=64, image_height=64,
+                                  rich_info=rich, pairs_per_triangle=8)
+
+        def grads_fn():
+            def loss_fn(xyz_, scale_, opac_, rgb_):
+                out = rasterize_gaussian(xyz_, scale_, q, opac_, None, CAM,
+                                         settings, gamma=1.3,
+                                         background=jnp.ones(3),
+                                         bg_depth=10.0, colors=rgb_,
+                                         impl="pallas", interpret=True)
+                loss = (out["render"] ** 2).sum() + out["final_T"].sum()
+                if rich:
+                    loss = loss + out["depth"].sum()
+                return loss
+            return jax.grad(loss_fn, argnums=(0, 1, 2, 3))(xyz, scale, opac,
+                                                           rgb)
+
+        self._compare(monkeypatch, "GS", rich, grads_fn)

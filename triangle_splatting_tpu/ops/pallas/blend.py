@@ -75,6 +75,25 @@ from jax.experimental.pallas import tpu as pltpu
 
 NUM_FIELDS = 16
 SLAB = 128            # triangles per DMA slab (power of two)
+
+# Count of leading gmat rows that can be nonzero in ``_bwd_kernel``, per
+# (variant, rich). MUST match the gmat concatenations below — the pack
+# backward (rasterize.py) sorts only these rows and feeds literal zeros
+# for the rest (sort payloads cost ~0.13 ms each @480k pairs). A gmat
+# change that populates a currently-zero row must update this table, or
+# gradients silently vanish; tests/test_rasterize.py::TestLiveRows runs
+# every combination against live_rows=16 through the real backward.
+#   2D rich:  GA1(3) GA2(3) GOP GC(7) GD1 GD2            -> 16
+#   2D plain: GA1(3) GA2(3) GOP GC(3) zeros(6)           -> 10
+#   3D rich:  GD(3) GA1(3) GA2(3) GOP GC(3) GK zeros(2)  -> 14
+#   3D plain: GD(3) GA1(3) GA2(3) GOP GC(3) zeros(3)     -> 13
+#   GS rich:  GX GY GA GB GC2 0 GOP rgb(3) GDEP zeros(5) -> 11
+#   GS plain: same without GDEP                          -> 10
+LIVE_GRAD_ROWS = {
+    ("2D", True): 16, ("2D", False): 10,
+    ("3D", True): 14, ("3D", False): 13,
+    ("GS", True): 11, ("GS", False): 10,
+}
 T_EPS = 1e-4
 ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.99

@@ -159,8 +159,28 @@ def relayout_pairs(sorted_tri: jax.Array, raw_starts: jax.Array,
 # segment_reduce_pairs — contiguous-segment column reduction (pack backward)
 # ---------------------------------------------------------------------------
 
-SEG_TB = 1024      # output triangles (columns) per grid step
-SEG_WR = 16        # window rows of 128 pairs each per inner DMA (2048 pairs)
+SEG_TB = 256       # output triangles (columns) per grid step: the 0/1
+#                    membership mask costs (128, SEG_TB) VPU compares per
+#                    window row — the kernel's dominant cost — while a
+#                    block's source span is ~SEG_TB * pairs_per_triangle,
+#                    so smaller blocks do ~proportionally less mask work
+#                    (measured 1.46 -> ~0.6 ms @480k pairs vs SEG_TB=1024).
+SEG_WR = 8         # window rows of 128 pairs each per inner DMA (1024 pairs)
+
+
+def _split_hi_lo(v):
+    """f32 -> three bf16 terms with hi + mid + lo = v to ~2^-24 relative.
+
+    Three bf16 MXU passes replace a HIGHEST f32 matmul (6 passes) with
+    below-f32-epsilon error — the 0/1 right operand is exact in bf16, so
+    only the value splitting contributes (a 2-term split measured ~1e-4
+    relative under segment-sum cancellation; 3 terms are exact to ulp).
+    """
+    hi = v.astype(jnp.bfloat16)
+    r1 = v - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
 
 
 def _segment_reduce_kernel(blk_row0, blk_nwin, nvalid,   # scalar prefetch
@@ -182,16 +202,16 @@ def _segment_reduce_kernel(blk_row0, blk_nwin, nvalid,   # scalar prefetch
         cp.wait()
         for r in range(SEG_WR):
             pos = (row + r) * LANE + lane                 # (128, 1) int32
-            oh = ((pos >= s) & (pos < e)).astype(jnp.float32)   # (128, TB)
+            oh = ((pos >= s) & (pos < e)).astype(jnp.bfloat16)  # (128, TB)
             # Columns at/after nvalid may hold garbage (even NaN: the blend
             # backward's invalid-slot cotangents) — 0 * NaN = NaN would leak
             # through the one-hot matmul, so zero them on the value side
             # with a SELECT (a multiply would itself propagate NaN).
             ok = ((row + r) * LANE + lane_row) < nvalid[0]     # (1, 128)
-            acc = acc + jax.lax.dot_general(
-                jnp.where(ok, win[r], 0.0), oh, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+            for part in _split_hi_lo(jnp.where(ok, win[r], 0.0)):
+                acc = acc + jax.lax.dot_general(
+                    part, oh, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
         return acc
 
     out_ref[:, :] = jax.lax.fori_loop(
@@ -314,10 +334,11 @@ def _segment_stats_kernel(blk_row0, blk_nwin, nvalid,    # scalar prefetch
             ohb = (pos >= s) & (pos < e)                  # (128, TB) bool
             ok = ((row + r) * LANE + lane_row) < nvalid[0]     # (1, 128)
             vals = jnp.where(ok, win[r], 0.0)             # (8, 128)
-            acc_sum = acc_sum + jax.lax.dot_general(
-                vals, ohb.astype(jnp.float32), (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)      # (8, TB)
+            oh16 = ohb.astype(jnp.bfloat16)
+            for part in _split_hi_lo(vals):
+                acc_sum = acc_sum + jax.lax.dot_general(
+                    part, oh16, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)   # (8, TB)
             # Segment max of row 1 (contributions >= 0; identity 0).
             mx = jnp.where(ohb, vals[1:2, :].T, 0.0)      # (128, TB)
             acc_max = jnp.maximum(acc_max, jnp.max(mx, axis=0, keepdims=True))

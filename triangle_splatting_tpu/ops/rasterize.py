@@ -29,7 +29,8 @@ import numpy as np
 from . import sh as sh_mod
 from .binning import Binning, bin_triangles
 from .oracle import blend_oracle, blend_oracle_3d
-from .pallas.blend import SLAB, blend_backward, blend_forward
+from .pallas.blend import (LIVE_GRAD_ROWS, SLAB, blend_backward,
+                           blend_forward)
 from .projection import (Preprocessed, Preprocessed3D, RasterSettings,
                          preprocess_2d, preprocess_3d)
 from ..utils.camera import Camera
@@ -318,15 +319,14 @@ def rasterize(vertex: jnp.ndarray, opacity: jnp.ndarray,
     if variant == "2D":
         fmat = triangle_field_matrix(prep, opac1)
         sx = sy = jnp.zeros((), jnp.float32)
-        live_rows = 16 if settings.rich_info else 10
     else:
         fmat = triangle_field_matrix_3d(prep, opac1, camera.tan_fovx,
                                         camera.tan_fovy, settings.image_width,
                                         settings.image_height)
         sx = settings.image_width / (2.0 * camera.tan_fovx)
         sy = settings.image_height / (2.0 * camera.tan_fovy)
-        live_rows = 14 if settings.rich_info else 13
-    fields = pack_pair_fields(fmat, binning, interpret, live_rows)
+    fields = pack_pair_fields(fmat, binning, interpret,
+                              LIVE_GRAD_ROWS[(variant, settings.rich_info)])
     params = jnp.concatenate([gamma[None], background, bg_depth[None],
                               jnp.asarray(sx, jnp.float32).reshape(1),
                               jnp.asarray(sy, jnp.float32).reshape(1),
@@ -408,10 +408,9 @@ def rasterize_gaussian(xyz: jnp.ndarray, scale: jnp.ndarray,
     binning = bin_triangles(prep_ng, settings, max_pairs, align=SLAB,
                             interpret=interpret)
 
-    # GS backward gmat rows: GX GY GA GB GC2 0 GOP rgb GDEP 0*5 — GDEP (10)
-    # only when rich (pallas/blend.py GS branch).
     fields = pack_pair_fields(gaussian_field_matrix(prep, opac1), binning,
-                              interpret, 11 if settings.rich_info else 10)
+                              interpret,
+                              LIVE_GRAD_ROWS[("GS", settings.rich_info)])
     params = jnp.concatenate([gamma[None], background, bg_depth[None],
                               jnp.zeros(3, jnp.float32)])
     static_cfg = (settings.image_width, settings.image_height,
