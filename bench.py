@@ -70,7 +70,12 @@ def main():
                                      rich_info=False, pairs_per_triangle=6))
     _, (overflow, num_pairs) = jax.block_until_ready(probe(v, o, c))
     assert not bool(overflow), "probe pair budget overflow"
-    ppt = adapt_pair_budget(6.0, int(num_pairs), P, False)
+    # shrink_if_below=1.0: this is cold-start sizing from a probe frame —
+    # always shrink to margin*need. The default 0.5 hysteresis exists to
+    # stop recompile thrash in LIVE training loops and would pin the budget
+    # at the roomy probe value here (measured: a 6.0-ppt buffer against a
+    # 3.5 need costs ~4 ms/frame of pair-scaled sort/gather work).
+    ppt = adapt_pair_budget(6.0, int(num_pairs), P, False, shrink_if_below=1.0)
     fwd_bwd = make_step(RasterSettings(image_width=W, image_height=W,
                                        rich_info=False,
                                        pairs_per_triangle=ppt))

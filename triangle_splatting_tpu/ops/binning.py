@@ -73,8 +73,14 @@ def cummax(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def aligned_capacity(max_pairs: int, num_tiles: int, align: int) -> int:
-    """Size of the aligned pair buffer for a given raw-pair budget."""
-    return max_pairs + align * num_tiles
+    """Size of the aligned pair buffer for a given raw-pair budget.
+
+    One extra ``align`` block pads the tail: the blend kernels stream
+    SLAB-sized compute slabs (a multiple of ``align``, pallas/blend.py)
+    from ``align``-aligned tile starts, so the last tile's final slab may
+    read up to SLAB - align slots past its aligned end.
+    """
+    return max_pairs + align * (num_tiles + 1)
 
 
 def depth_bits_for(num_tiles: int) -> int:
@@ -112,14 +118,27 @@ def bin_triangles(prep: Preprocessed, settings: RasterSettings,
     # stays False and the frame silently renders empty.
     overflow = (total > max_pairs) | (total < 0)
 
-    # Per-triangle side table packed into ONE matrix -> one pair gather.
+    # Per-triangle key constants. The pair key decomposes affinely in the
+    # two per-pair unknowns (within, q):
+    #   key = ((rminy + q) * grid_w + rminx + within - q * rw) << dbits
+    #         | depth_q
+    #       = K0 + (within << dbits) + q * A
+    #   K0  = (rminy * grid_w + rminx) << dbits | depth_q
+    #   A   = (grid_w - rw) << dbits
+    # (exact: depth_q < 2^dbits so the | is +, all terms are nonnegative
+    # and partial sums are bounded by the final key < 2^31 by
+    # depth_bits_for). The four columns ride ONE (MP,4) row gather — 1-D
+    # per-column gathers measured +8 ms end to end (r3, matching the r2
+    # "two 1-D gathers price ~2x one row gather" negative result) — and
+    # are extracted through an explicit transpose behind an
+    # optimization_barrier: slicing the gather output directly makes XLA
+    # emit 1-D T(1024)-layout column fusions priced at ~1.4 ms @400k pairs
+    # (profile r3, binning.py:146).
     depth_q = quantize_depth(prep.depth, prep.valid, dbits)
-    tri_table = jnp.stack([
-        offsets,
-        prep.rect_min[:, 0], prep.rect_min[:, 1],
-        jnp.maximum(prep.rect_max[:, 0] - prep.rect_min[:, 0], 1),
-        depth_q,
-    ], axis=1)                                               # (P, 5) int32
+    rw_t = jnp.maximum(prep.rect_max[:, 0] - prep.rect_min[:, 0], 1)
+    base = prep.rect_min[:, 1] * grid_w + prep.rect_min[:, 0]
+    K0_t = (base << dbits) | depth_q
+    A_t = (grid_w - rw_t) << dbits
 
     # Expand: marker scatter-max of (tri+1) at each triangle's first pair
     # slot, then cummax-1 gives the owning triangle of every pair slot.
@@ -133,7 +152,6 @@ def bin_triangles(prep: Preprocessed, settings: RasterSettings,
     valid = (pair_idx < num_pairs) & (tri >= 0)
     tri_safe = jnp.clip(tri, 0, P - 1)
 
-    row = tri_table[tri_safe]                                # ONE gather (MP,5)
     # The per-pair arithmetic below runs on (MP/128, 128) 2-D views: XLA
     # lays out large 1-D int arrays at 1-sublane vreg occupancy, making the
     # elementwise chain ~8x slower than the same ops on a 2-D shape
@@ -143,8 +161,12 @@ def bin_triangles(prep: Preprocessed, settings: RasterSettings,
         # fallback for direct callers with odd budgets.
         return x.reshape(-1, 128) if max_pairs % 128 == 0 else x
 
-    within = c2(pair_idx) - c2(row[:, 0])
-    rw = c2(row[:, 3])
+    tbl = jnp.stack([offsets, rw_t, K0_t, A_t], axis=1)      # (P, 4) int32
+    row = tbl[tri_safe]                                      # ONE gather (MP,4)
+    rowT = jax.lax.optimization_barrier(row.T)               # (4, MP)
+
+    within = c2(pair_idx) - c2(rowT[0])
+    rw = c2(rowT[1])
     # within // rw as f32 math: int32 divide is a ~30-op software sequence
     # on the VPU; ``within`` < num_tiles (a rect is clipped to the grid)
     # and rw >= 1, so (within + 0.5) / rw sits >= 0.5/rw away from every
@@ -156,13 +178,12 @@ def bin_triangles(prep: Preprocessed, settings: RasterSettings,
                       / rw.astype(jnp.float32)).astype(jnp.int32)
     else:
         q = within // rw
-    tile_x = c2(row[:, 1]) + within - q * rw
-    tile_y = c2(row[:, 2]) + q
-    valid2 = c2(valid)
-    tile_id = jnp.where(valid2, tile_y * grid_w + tile_x, num_tiles)
 
     # ONE fused int32 key; validity is encoded (sentinel tile sorts last).
-    key = ((tile_id << dbits) | jnp.where(valid2, c2(row[:, 4]), 0)).reshape(-1)
+    # Tail slots compute garbage (int32 wraparound is fine) — discarded by
+    # the select, exactly like the old tile_x/tile_y form.
+    key = c2(rowT[2]) + (within << dbits) + q * c2(rowT[3])
+    key = jnp.where(c2(valid), key, num_tiles << dbits).reshape(-1)
     sorted_key, sorted_tri = jax.lax.sort((key, tri_safe), num_keys=1,
                                           is_stable=True)
 

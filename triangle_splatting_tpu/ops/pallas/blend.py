@@ -8,7 +8,7 @@ Mapping CUDA -> TPU:
 
 - one 16x16 thread block per tile            -> one grid step per tile
   (32x32 px default); inside a step, pixels live FLAT on the lane axis
-  ([S, NPIX]) and a SLAB of 128 triangles on the sublane axis
+  ([S, NPIX]) and a SLAB of pairs on the sublane axis
 - __shared__ batch fetch of 256 triangles    -> double-buffered async DMA of
   (src/forward.cu:262-291)                      (16, SLAB) field slabs
 - sequential per-pixel transmittance loop    -> in-register Hillis-Steele
@@ -74,7 +74,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NUM_FIELDS = 16
-SLAB = 128            # triangles per DMA slab (power of two)
+ALIGN = 128           # lane-dim alignment of per-tile pair ranges (binning)
+SLAB = 256            # pairs per compute slab (power of two, multiple of
+#                       ALIGN). Larger slabs amortize the log2(SLAB)
+#                       Hillis-Steele scan passes and the per-slab carry /
+#                       staging / loop overhead over more pairs; tile
+#                       ranges stay ALIGN-aligned so the DMA offsets are
+#                       only ALIGN-aligned (slab reads may overrun into the
+#                       next tile's slots or the buffer pad — harmless,
+#                       masked by in_range; binning pads capacity by one
+#                       ALIGN block for the last tile).
 
 # Count of leading gmat rows that can be nonzero in ``_bwd_kernel``, per
 # (variant, rich). MUST match the gmat concatenations below — the pack
@@ -150,7 +159,10 @@ def _alpha_terms(buf_t, px, py, gamma, in_range, variant="2D"):
     mn = jnp.minimum(jnp.minimum(a1, a2), a3)
     ecc = 1.0 - 3.0 * mn
     ok = (ecc >= 0.0) & (ecc <= ECC_MAX) & ok0
-    eccs = jnp.clip(ecc, 0.0, ECC_MAX)
+    # Only the lower clip is load-bearing (log of a ~-1e-7 rounding
+    # negative); ecc > ECC_MAX entries are masked by ``ok`` and neither
+    # e*e nor the log-space pow overflows f32 on them.
+    eccs = jnp.maximum(ecc, 0.0)
     # ecc ** (2*gamma); photo configs train at gamma == 1 for the whole run,
     # so branch to a transcendental-free square (exp/log only during the
     # solidify anneal).
@@ -267,7 +279,7 @@ def _fwd_kernel(
     ty = pl.program_id(0)
     tx = pl.program_id(1)
     tile_id = ty * grid_w + tx
-    start = pl.multiple_of(tile_starts[tile_id], SLAB)
+    start = pl.multiple_of(tile_starts[tile_id], ALIGN)
     npairs = tile_counts[tile_id]
     nslabs = pl.cdiv(npairs, SLAB)
 
@@ -286,12 +298,12 @@ def _fwd_kernel(
     e_iota = jax.lax.broadcasted_iota(jnp.int32, (SLAB, 1), 0)
 
     def in_dma(slot, s):
-        off = pl.multiple_of(start + s * SLAB, SLAB)
+        off = pl.multiple_of(start + s * SLAB, ALIGN)
         return pltpu.make_async_copy(
             pairs_hbm.at[:, pl.ds(off, SLAB)], buf.at[slot], in_sem.at[slot])
 
     def out_dma(slot, s):
-        off = pl.multiple_of(start + s * SLAB, SLAB)
+        off = pl.multiple_of(start + s * SLAB, ALIGN)
         return pltpu.make_async_copy(
             stage.at[slot], pair_contrib_hbm.at[:, pl.ds(off, SLAB)],
             out_sem.at[slot])
@@ -568,7 +580,7 @@ def _bwd_kernel(
     ty = pl.program_id(0)
     tx = pl.program_id(1)
     tile_id = ty * grid_w + tx
-    start = pl.multiple_of(tile_starts[tile_id], SLAB)
+    start = pl.multiple_of(tile_starts[tile_id], ALIGN)
     npairs = tile_counts[tile_id]
     nslabs = pl.cdiv(npairs, SLAB)
 
@@ -615,19 +627,26 @@ def _bwd_kernel(
     carry_ref[1:2, :] = final_T             # T_back
 
     # Slabs entirely past the deepest contributor produce zero gradients —
-    # skip their math (real scenes terminate far before the list ends).
+    # don't iterate them at all (mirrors the forward's early-exit: real
+    # scenes saturate far before the tile list ends). The reverse
+    # recursion can start at the last LIVE slab with the same initial
+    # carry (A, T_back): every entry past max_nc has alpha == 0 for every
+    # pixel, so those slabs change neither A nor T. Their gradient slots
+    # are zero-filled by a cheap staging loop first (the output buffer is
+    # uninitialized memory).
     max_nc = jnp.max(n_contrib)
+    nslabs_live = pl.cdiv(jnp.minimum(npairs, max_nc), SLAB)
 
     e_iota = jax.lax.broadcasted_iota(jnp.int32, (SLAB, 1), 0)
     U_strict = _tri_upper_strict(SLAB)
 
     def in_dma(slot, s):
-        off = pl.multiple_of(start + s * SLAB, SLAB)
+        off = pl.multiple_of(start + s * SLAB, ALIGN)
         return pltpu.make_async_copy(
             pairs_hbm.at[:, pl.ds(off, SLAB)], buf.at[slot], in_sem.at[slot])
 
     def out_dma(slot, s):
-        off = pl.multiple_of(start + s * SLAB, SLAB)
+        off = pl.multiple_of(start + s * SLAB, ALIGN)
         return pltpu.make_async_copy(
             gstage.at[slot], pair_grads_hbm.at[:, pl.ds(off, SLAB)],
             out_sem.at[slot])
@@ -637,58 +656,57 @@ def _bwd_kernel(
                               pair_grads_hbm.at[:, pl.ds(0, SLAB)],
                               out_sem.at[slot]).wait()
 
-    @pl.when(nslabs > 0)
+    # Zero-fill the dead tail [nslabs_live, nslabs) before the main loop
+    # (synchronous per-slab DMA on slot 0, like the forward's zero_body).
+    def zero_body(s, _):
+        gstage[0, :, :] = jnp.zeros((NUM_FIELDS, SLAB), jnp.float32)
+        out_dma(0, s).start()
+        out_dma_wait(0)
+        return ()
+
+    jax.lax.fori_loop(nslabs_live, nslabs, zero_body, ())
+
+    @pl.when(nslabs_live > 0)
     def _():
-        in_dma((nslabs - 1) % 2, nslabs - 1).start()
+        in_dma((nslabs_live - 1) % 2, nslabs_live - 1).start()
 
     def body(i, _):
-        s = nslabs - 1 - i                                     # reverse order
+        s = nslabs_live - 1 - i                                # reverse order
         slot = s % 2
         @pl.when(s - 1 >= 0)
         def _():
             in_dma((s - 1) % 2, s - 1).start()
         in_dma(slot, s).wait()
 
-        def live_slab(_):
-            return _bwd_slab_math(buf[slot, :, :], s)
-
-        def dead_slab(_):
-            return (jnp.zeros((SLAB, NUM_FIELDS), jnp.float32),
-                    jnp.zeros((1, npix), jnp.float32),
-                    jnp.ones((1, npix), jnp.float32))
-
         def _bwd_slab_math(buf2d, s):
             buf_t = buf2d.T                                    # (SLAB, 16)
             e = e_iota + s * SLAB                              # (S, 1)
-            in_range = e < npairs
+            # Entries at/after the forward's last contributor were never
+            # composited — fold the mask into the alpha recompute (zeroed
+            # alpha + false ok) instead of a separate where pass.
+            processed = (e < npairs) & (e < n_contrib)         # (S, NPIX)
             if variant == "GS":
                 q, qs, dx, dy, expp, alpha_un, alpha, ok = _alpha_terms_gs(
-                    buf_t, px, py, gamma, in_range)
+                    buf_t, px, py, gamma, processed)
                 a1 = a2 = a3 = eccs = None
                 invD = None
             else:
                 (a1, a2, a3, eccs, expp, alpha_un, alpha, ok,
-                 invD) = _alpha_terms(buf_t, px, py, gamma, in_range,
+                 invD) = _alpha_terms(buf_t, px, py, gamma, processed,
                                       variant)
-            processed = e < n_contrib                          # (S, NPIX)
-            alpha = jnp.where(processed, alpha, 0.0)
-            ok = ok & processed
 
             one_m = 1.0 - alpha
             # Reverse transmittance reconstruction:
-            # T_excl[s] = T_back * prod_{k>=s} 1/(1-a_k) — an in-register
-            # suffix product (log2(S) shifted multiplies) + one reciprocal,
-            # dropping the log/exp pair of the former exp(-U@log) MXU form.
-            P_sfx = _suffix_prod(one_m)                        # (S, NPIX)
-            R_rev = 1.0 / P_sfx
+            # T_excl[s] = T_back * prod_{k>=s} 1/(1-a_k): ONE reciprocal
+            # (1-a >= 0.01 by the 0.99 alpha clamp) then an in-register
+            # suffix product of reciprocals (log2(S) shifted multiplies).
+            # The per-entry 1/(1-a_s) needed by dL_da comes free as the
+            # reciprocal itself.
+            inv1m = 1.0 / one_m
+            R_rev = _suffix_prod(inv1m)                        # (S, NPIX)
             T_back = carry_ref[1:2, :]
             T_excl = T_back * R_rev
             contrib = alpha * T_excl
-            # 1/(1-a_s) = P_sfx[s+1] / P_sfx[s]: a shifted multiply against
-            # the reciprocal already in hand, not a second full-array divide.
-            inv1m = R_rev * jnp.concatenate(
-                [P_sfx[1:], jnp.ones((1,) + P_sfx.shape[1:], P_sfx.dtype)],
-                axis=0)
 
             if variant == "GS":
                 gdot = (_fld(buf_t, 7) * g_col[0:1] + _fld(buf_t, 8) * g_col[1:2]
@@ -853,8 +871,7 @@ def _bwd_kernel(
             new_T = T_back * R_rev[0:1, :]
             return gmat, new_A - carry_ref[0:1, :], new_T
 
-        off_s = s * SLAB
-        gmat, dA, new_T = jax.lax.cond(off_s < max_nc, live_slab, dead_slab, 0)
+        gmat, dA, new_T = _bwd_slab_math(buf[slot, :, :], s)
 
         @pl.when(i >= 2)
         def _():
@@ -862,22 +879,20 @@ def _bwd_kernel(
         gstage[slot, :, :] = gmat.T                            # (16, SLAB)
         out_dma(slot, s).start()
 
-        @pl.when(off_s < max_nc)
-        def _():
-            carry_ref[0:1, :] += dA
-            carry_ref[1:2, :] = new_T
+        carry_ref[0:1, :] += dA
+        carry_ref[1:2, :] = new_T
         return ()
 
-    jax.lax.fori_loop(0, nslabs, body, ())
+    jax.lax.fori_loop(0, nslabs_live, body, ())
 
     # Drain in-flight gradient writes (up to two slots).
-    @pl.when(nslabs >= 2)
+    @pl.when(nslabs_live >= 2)
     def _():
-        out_dma_wait(nslabs % 2)
+        out_dma_wait(nslabs_live % 2)
 
-    @pl.when(nslabs >= 1)
+    @pl.when(nslabs_live >= 1)
     def _():
-        out_dma_wait((nslabs + 1) % 2)
+        out_dma_wait((nslabs_live + 1) % 2)
 
 
 def blend_backward(pairs: jax.Array, tile_starts: jax.Array,

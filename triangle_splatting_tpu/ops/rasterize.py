@@ -29,7 +29,7 @@ import numpy as np
 from . import sh as sh_mod
 from .binning import Binning, bin_triangles
 from .oracle import blend_oracle, blend_oracle_3d
-from .pallas.blend import (LIVE_GRAD_ROWS, SLAB, blend_backward,
+from .pallas.blend import (ALIGN, LIVE_GRAD_ROWS, blend_backward,
                            blend_forward)
 from .projection import (Preprocessed, Preprocessed3D, RasterSettings,
                          preprocess_2d, preprocess_3d)
@@ -305,7 +305,7 @@ def rasterize(vertex: jnp.ndarray, opacity: jnp.ndarray,
                     overflow=jnp.asarray(False), num_pairs=jnp.int32(0))
 
     if max_pairs is None:
-        max_pairs = _round_up(int(settings.pairs_per_triangle * P), SLAB)
+        max_pairs = _round_up(int(settings.pairs_per_triangle * P), ALIGN)
 
     # Pallas TPU kernels only run interpreted on the CPU backend (tests,
     # virtual multi-chip meshes) — switch automatically.
@@ -313,7 +313,7 @@ def rasterize(vertex: jnp.ndarray, opacity: jnp.ndarray,
         interpret = True
 
     prep_ng = jax.tree_util.tree_map(jax.lax.stop_gradient, prep)
-    binning = bin_triangles(prep_ng, settings, max_pairs, align=SLAB,
+    binning = bin_triangles(prep_ng, settings, max_pairs, align=ALIGN,
                             interpret=interpret)
 
     if variant == "2D":
@@ -400,12 +400,12 @@ def rasterize_gaussian(xyz: jnp.ndarray, scale: jnp.ndarray,
                     overflow=jnp.asarray(False), num_pairs=jnp.int32(0))
 
     if max_pairs is None:
-        max_pairs = _round_up(int(settings.pairs_per_triangle * P), SLAB)
+        max_pairs = _round_up(int(settings.pairs_per_triangle * P), ALIGN)
     if not interpret and jax.default_backend() == "cpu":
         interpret = True
 
     prep_ng = jax.tree_util.tree_map(jax.lax.stop_gradient, prep)
-    binning = bin_triangles(prep_ng, settings, max_pairs, align=SLAB,
+    binning = bin_triangles(prep_ng, settings, max_pairs, align=ALIGN,
                             interpret=interpret)
 
     fields = pack_pair_fields(gaussian_field_matrix(prep, opac1), binning,

@@ -466,10 +466,17 @@ class ScaffoldGSTrainer(BaseTrainer):
                 # sizes max_pairs against — NOT the per-view selected count
                 # (which inflates per-primitive need ~(C*k)/n_sel x and
                 # defeats the shrink path under heavy culling)
+                # Cold-start sizing shrinks fully; hysteresis thereafter
+                # (see vanilla_ts).
+                first_sizing = (np_used >= 0
+                                and not getattr(self, "_ppt_sized", False))
+                if np_used >= 0:
+                    self._ppt_sized = True
                 new_ppt = adapt_pair_budget(
                     self._ppt,
                     np_used if np_used >= 0 else None,
-                    n_prim_step, bool(lv[3]))
+                    n_prim_step, bool(lv[3]),
+                    shrink_if_below=1.0 if first_sizing else 0.5)
                 if new_ppt != self._ppt:
                     self._ppt = new_ppt
                     self.logger.warning(

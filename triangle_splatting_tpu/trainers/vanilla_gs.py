@@ -477,10 +477,17 @@ class VanillaGSTrainer(BaseTrainer):
                 np_used = int(lv[1])   # -1 when DP (slim aux is grow-only)
                 # denominator = padded capacity (== rasterize's max_pairs
                 # P), not the alive count — see vanilla_ts
+                # Cold-start sizing shrinks fully; hysteresis thereafter
+                # (see vanilla_ts).
+                first_sizing = (np_used >= 0
+                                and not getattr(self, "_ppt_sized", False))
+                if np_used >= 0:
+                    self._ppt_sized = True
                 new_ppt = adapt_pair_budget(
                     self._ppt,
                     np_used if np_used >= 0 else None,
-                    cap_step, bool(lv[2]))
+                    cap_step, bool(lv[2]),
+                    shrink_if_below=1.0 if first_sizing else 0.5)
                 if new_ppt != self._ppt:
                     self._ppt = new_ppt
                     self.logger.warning(

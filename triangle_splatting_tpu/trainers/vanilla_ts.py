@@ -800,8 +800,16 @@ class VanillaTSTrainer(BaseTrainer):
                 # sized as ppt * capacity in rasterize, so need must be
                 # measured against the same P (alive count would inflate
                 # ppt and defeat the shrink path)
+                # First sizing after cold start shrinks all the way to
+                # margin*need (the config default is a roomy guess and the
+                # 0.5 hysteresis would pin it there for the whole run —
+                # ~1.7x of pair-scaled sort/pack cost every step); later
+                # windows keep the anti-thrash hysteresis.
+                first_sizing = not getattr(self, "_ppt_sized", False)
+                self._ppt_sized = True
                 new_ppt = adapt_pair_budget(
-                    self._ppt, int(lv[1]), cap_step, bool(lv[2]))
+                    self._ppt, int(lv[1]), cap_step, bool(lv[2]),
+                    shrink_if_below=1.0 if first_sizing else 0.5)
                 if new_ppt != self._ppt:
                     self._ppt = new_ppt
                     self.logger.warning(

@@ -7,11 +7,13 @@ cache semantics: skip-if-exists on both directions, an upload lock so only
 one worker pushes, and ``.done`` / ``.fail`` flags to coordinate fleets of
 training jobs.
 
-The remote side is a small ``RemoteStore`` interface. The default backend
-mirrors into another filesystem path — on TPU pods that is the NFS/GCS-fuse
-shared disk, which plays the role Alibaba OSS plays for the reference. An
-``oss2`` backend slot is kept (gated on the package being importable) so
-``OSSHandler`` stays name-compatible.
+The remote side is a small ``RemoteStore`` interface with two backends:
+``FilesystemStore`` mirrors into another filesystem path (on TPU pods the
+NFS/GCS-fuse shared disk), and ``OSSStore`` rides the io_utils OSSIO
+object-store backend (activated by io_utils.set_oss_io; exercises the
+reference's native storage when the oss2 sdk is installed). ``oss://``
+string roots route to OSSStore automatically; ``OSSHandler`` is the
+name-compatible alias of MirrorHandler.
 """
 
 from __future__ import annotations
@@ -120,13 +122,67 @@ class FilesystemStore(RemoteStore):
         p.touch()
 
 
-def make_oss_store(oss_root: str) -> RemoteStore:
-    """OSS-backed store — only when the (non-baked) oss2 sdk is present
-    (reference io_utils.py:232-825). Raises ImportError otherwise."""
-    import oss2  # noqa: F401  (gated: not in the TPU image)
-    raise NotImplementedError(
-        "oss2 detected but the OSS store is not wired; use FilesystemStore "
-        "against an OSS fuse mount instead")
+class OSSStore(RemoteStore):
+    """Remote store over the OSSIO object-store backend (reference
+    file_handler.py:38-258 talks to OSS through io_utils' OSSIO; same
+    pairing here). ``root`` is an ``oss://bucket/prefix`` path; ``backend``
+    defaults to whichever backend the global ``io`` facade has registered
+    for it (see io_utils.set_oss_io)."""
+
+    def __init__(self, root: str, backend=None):
+        from .io_utils import io
+        self.root = str(root).rstrip("/")
+        self._io = backend if backend is not None else io
+
+    def _p(self, path: str) -> str:
+        return f"{self.root}/{path}" if path else self.root
+
+    def exists(self, path: str) -> bool:
+        return self._io.exists(self._p(path))
+
+    def get(self, remote_path: str, local_path: str) -> None:
+        src = self._p(remote_path)
+        if self._io.isdir(src):
+            self._io.copytree(src, local_path)
+        else:
+            self._io.copy(src, local_path)
+
+    def put(self, local_path: str, remote_path: str) -> None:
+        dst = self._p(remote_path)
+        if os.path.isdir(local_path):
+            self._io.copytree(local_path, dst)
+        else:
+            self._io.copy(local_path, dst)
+
+    def listdir(self, path: str) -> list[str]:
+        p = self._p(path)
+        try:
+            return sorted(n.rstrip("/") for n in self._io.listdir(p))
+        except FileNotFoundError:
+            return []
+
+    def remove(self, path: str) -> None:
+        p = self._p(path)
+        if self._io.exists(p) or self._io.isdir(p):
+            self._io.remove(p)
+
+    def touch(self, path: str) -> None:
+        # Binary mode: the buffered handle puts the (empty) object on close;
+        # a text append of "" would skip the write and create nothing.
+        with self._io.open(self._p(path), "wb") as f:
+            f.write(b"")
+
+
+def make_oss_store(oss_root: str, backend=None) -> RemoteStore:
+    """OSS-backed store. Requires an OSS backend: pass one, or register it
+    first via io_utils.set_oss_io (needs the non-baked oss2 sdk)."""
+    if backend is None:
+        from .io_utils import io
+        if io.islocal(oss_root):
+            raise RuntimeError(
+                f"no oss:// backend registered for {oss_root!r}; call "
+                "io_utils.set_oss_io(config) first (requires the oss2 sdk)")
+    return OSSStore(oss_root, backend)
 
 
 class MirrorHandler(BaseFileHandler):
@@ -141,8 +197,11 @@ class MirrorHandler(BaseFileHandler):
     def __init__(self, remote: RemoteStore | str, local_root: str,
                  logger=None, get_skip_exist: bool = True,
                  put_skip_exist: bool = False, upload_lock: bool = True):
-        self.remote = (FilesystemStore(remote) if isinstance(remote, str)
-                       else remote)
+        if isinstance(remote, str):
+            remote = (make_oss_store(remote)
+                      if remote.startswith("oss://")
+                      else FilesystemStore(remote))
+        self.remote = remote
         self._local_root = os.path.abspath(str(local_root).rstrip("/"))
         Path(self._local_root).mkdir(parents=True, exist_ok=True)
         self._logger = logger
