@@ -75,12 +75,17 @@ def cummax(x: jnp.ndarray) -> jnp.ndarray:
 def aligned_capacity(max_pairs: int, num_tiles: int, align: int) -> int:
     """Size of the aligned pair buffer for a given raw-pair budget.
 
-    One extra ``align`` block pads the tail: the blend kernels stream
-    SLAB-sized compute slabs (a multiple of ``align``, pallas/blend.py)
-    from ``align``-aligned tile starts, so the last tile's final slab may
-    read up to SLAB - align slots past its aligned end.
+    Per-tile alignment wastes up to ``align - 1`` slots per tile
+    (``num_tiles * align`` bound), and the blend kernels stream SLAB-sized
+    compute slabs (a multiple of ``align``, pallas/blend.py) from
+    ``align``-aligned tile starts, so the last tile's final slab may
+    read/write up to ``SLAB - align`` slots past its aligned end — the tail
+    pad is derived from the actual SLAB/ALIGN ratio so raising SLAB cannot
+    silently under-allocate.
     """
-    return max_pairs + align * (num_tiles + 1)
+    from .pallas.blend import ALIGN as BLEND_ALIGN, SLAB as BLEND_SLAB
+    overrun = BLEND_SLAB - align if align == BLEND_ALIGN else BLEND_SLAB
+    return max_pairs + align * num_tiles + max(overrun, align)
 
 
 def depth_bits_for(num_tiles: int) -> int:

@@ -75,15 +75,37 @@ from jax.experimental.pallas import tpu as pltpu
 
 NUM_FIELDS = 16
 ALIGN = 128           # lane-dim alignment of per-tile pair ranges (binning)
-SLAB = 256            # pairs per compute slab (power of two, multiple of
-#                       ALIGN). Larger slabs amortize the log2(SLAB)
-#                       Hillis-Steele scan passes and the per-slab carry /
-#                       staging / loop overhead over more pairs; tile
-#                       ranges stay ALIGN-aligned so the DMA offsets are
-#                       only ALIGN-aligned (slab reads may overrun into the
-#                       next tile's slots or the buffer pad — harmless,
-#                       masked by in_range; binning pads capacity by one
-#                       ALIGN block for the last tile).
+FWD_SLAB = 128        # pairs per forward compute slab
+BWD_SLAB = 128        # pairs per backward compute slab
+# Slab-size sweep @800^2/100k (r4, same session, ms/frame): (FWD, BWD) =
+# (256, 256) 27.17 · (256, 128) 25.47 · (128, 128) 24.59; 512 measured
+# slower for the forward earlier the same round (29.7 vs 28.4). Smaller
+# slabs win on BOTH axes because slab QUANTIZATION dominates per-slab
+# overhead now that the glue is cheap: the average tile holds ~430 pairs,
+# so 128-slabs process ~16% fewer masked pair-slots than 256-slabs, and
+# one fewer Hillis-Steele pass (log2 S) outweighs the extra carry/DMA
+# bookkeeping per slab. 128 == ALIGN is also the floor: slab DMA offsets
+# must stay ALIGN-aligned and the lane dim must fill a vreg.
+SLAB = max(FWD_SLAB, BWD_SLAB)   # worst-case slab for the capacity pad
+#                       (binning.aligned_capacity imports this).
+# Slabs are powers of two, multiples of ALIGN. Larger slabs amortize the
+# log2(SLAB) Hillis-Steele scan passes and the per-slab carry / staging /
+# loop overhead over more pairs; tile ranges stay ALIGN-aligned so the DMA
+# offsets are only ALIGN-aligned. Overrun invariants:
+#                       - slab READS may overrun into the next tile's slots
+#                         or the buffer pad — harmless, masked by in_range
+#                         (binning.aligned_capacity derives the tail pad
+#                         from this SLAB);
+#                       - out_dma also WRITES up to SLAB - ALIGN slots into
+#                         the next tile's range (stage/gstage trailing
+#                         zeros). This is correct ONLY because the grid
+#                         executes tiles sequentially and every non-empty
+#                         tile rewrites its full aligned range afterwards.
+#                         dimension_semantics=('parallel', ...) (megacore)
+#                         would race a tile's trailing zero-write against
+#                         its neighbor's real contrib/gradient writes and
+#                         silently corrupt them — keep the grid sequential
+#                         or make out_dma exact before parallelizing.
 
 # Count of leading gmat rows that can be nonzero in ``_bwd_kernel``, per
 # (variant, rich). MUST match the gmat concatenations below — the pack
@@ -252,7 +274,7 @@ def _suffix_prod(x):
 
 def _fwd_kernel(
     # scalar prefetch
-    tile_starts,          # (num_tiles + 1,) int32, SMEM — SLAB-aligned
+    tile_starts,          # (num_tiles + 1,) int32, SMEM — FWD_SLAB-aligned
     tile_counts,          # (num_tiles,) int32, SMEM — real pairs per tile
     params,               # (8,) f32, SMEM: [gamma, bg_r, bg_g, bg_b, bg_depth]
     # inputs
@@ -265,8 +287,8 @@ def _fwd_kernel(
     ncontrib_ref,         # (TH, TW) int32
     pair_contrib_hbm,     # (2, MP) f32, HBM — written via DMA
     # scratch
-    buf,                  # VMEM (2, 16, SLAB) — double-buffered input slabs
-    stage,                # VMEM (2, 2, SLAB) — pair contrib staging slots
+    buf,                  # VMEM (2, 16, FWD_SLAB) — double-buffered input slabs
+    stage,                # VMEM (2, 2, FWD_SLAB) — pair contrib staging slots
     accum,                # VMEM (9, NPIX): rgb, depth, normal, T, GS done
     ncnt,                 # VMEM (1, NPIX) int32
     in_sem,               # DMA (2,)
@@ -281,7 +303,7 @@ def _fwd_kernel(
     tile_id = ty * grid_w + tx
     start = pl.multiple_of(tile_starts[tile_id], ALIGN)
     npairs = tile_counts[tile_id]
-    nslabs = pl.cdiv(npairs, SLAB)
+    nslabs = pl.cdiv(npairs, FWD_SLAB)
 
     gamma = params[0]
     bg_depth = params[4]
@@ -295,22 +317,22 @@ def _fwd_kernel(
     accum[7:8, :] = jnp.where(inside, 1.0, 0.0)
     ncnt[:, :] = jnp.zeros((1, npix), jnp.int32)
 
-    e_iota = jax.lax.broadcasted_iota(jnp.int32, (SLAB, 1), 0)
+    e_iota = jax.lax.broadcasted_iota(jnp.int32, (FWD_SLAB, 1), 0)
 
     def in_dma(slot, s):
-        off = pl.multiple_of(start + s * SLAB, ALIGN)
+        off = pl.multiple_of(start + s * FWD_SLAB, ALIGN)
         return pltpu.make_async_copy(
-            pairs_hbm.at[:, pl.ds(off, SLAB)], buf.at[slot], in_sem.at[slot])
+            pairs_hbm.at[:, pl.ds(off, FWD_SLAB)], buf.at[slot], in_sem.at[slot])
 
     def out_dma(slot, s):
-        off = pl.multiple_of(start + s * SLAB, ALIGN)
+        off = pl.multiple_of(start + s * FWD_SLAB, ALIGN)
         return pltpu.make_async_copy(
-            stage.at[slot], pair_contrib_hbm.at[:, pl.ds(off, SLAB)],
+            stage.at[slot], pair_contrib_hbm.at[:, pl.ds(off, FWD_SLAB)],
             out_sem.at[slot])
 
     def out_dma_wait(slot):
         pltpu.make_async_copy(stage.at[slot],
-                              pair_contrib_hbm.at[:, pl.ds(0, SLAB)],
+                              pair_contrib_hbm.at[:, pl.ds(0, FWD_SLAB)],
                               out_sem.at[slot]).wait()
 
     @pl.when(nslabs > 0)
@@ -325,9 +347,9 @@ def _fwd_kernel(
         def _():
             in_dma((s + 1) % 2, s + 1).start()
         in_dma(slot, s).wait()
-        buf_t = buf[slot, :, :].T                               # (SLAB, 16)
+        buf_t = buf[slot, :, :].T                               # (FWD_SLAB, 16)
 
-        in_range = (e_iota + s * SLAB) < npairs                 # (S, 1)
+        in_range = (e_iota + s * FWD_SLAB) < npairs                 # (S, 1)
         if variant == "GS":
             q, qs, dx, dy, expp, alpha_un, alpha, ok = _alpha_terms_gs(
                 buf_t, px, py, gamma, in_range)
@@ -385,7 +407,7 @@ def _fwd_kernel(
             # GS last_contributor = 1-based tile-list index of the last
             # COMPOSITED entry (custom-gaussian forward.cu:588-589) — the
             # kill entry and trailing skipped-alpha entries don't count.
-            idx1 = e_iota + s * SLAB + 1                        # (S, 1)
+            idx1 = e_iota + s * FWD_SLAB + 1                        # (S, 1)
             comp = alive & ok
             ncnt[:, :] = jnp.maximum(
                 ncnt[:, :],
@@ -442,7 +464,7 @@ def _fwd_kernel(
     # Slabs skipped by early exit still need their pair-contrib slots
     # zeroed (the buffer is uninitialized output memory).
     def zero_body(s):
-        stage[0, :, :] = jnp.zeros((2, SLAB), jnp.float32)
+        stage[0, :, :] = jnp.zeros((2, FWD_SLAB), jnp.float32)
         out_dma(0, s).start()
         out_dma_wait(0)
         return s + 1
@@ -476,8 +498,8 @@ def blend_forward(pairs: jax.Array, tile_starts: jax.Array,
     """Run the forward blend kernel.
 
     Args:
-        pairs: (16, MP) f32 packed pair fields, field-major, MP % SLAB == 0,
-            per-tile ranges SLAB-aligned (see Binning).
+        pairs: (16, MP) f32 packed pair fields, field-major, MP rounded to
+            ALIGN, per-tile ranges ALIGN-aligned (see Binning).
         tile_starts: (num_tiles + 1,) int32 aligned starts.
         tile_counts: (num_tiles,) int32 real pair counts.
         params: (8,) f32 [gamma, bg_r, bg_g, bg_b, bg_depth, 0, 0, 0].
@@ -514,8 +536,8 @@ def blend_forward(pairs: jax.Array, tile_starts: jax.Array,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, NUM_FIELDS, SLAB), jnp.float32),
-            pltpu.VMEM((2, 2, SLAB), jnp.float32),
+            pltpu.VMEM((2, NUM_FIELDS, FWD_SLAB), jnp.float32),
+            pltpu.VMEM((2, 2, FWD_SLAB), jnp.float32),
             # rows 0-6 accumulators, 7 transmittance, 8 GS done flag
             pltpu.VMEM((9, npix), jnp.float32),
             pltpu.VMEM((1, npix), jnp.int32),
@@ -568,8 +590,8 @@ def _bwd_kernel(
     # outputs
     pair_grads_hbm,       # (16, MP) HBM — via DMA
     # scratch
-    buf,                  # VMEM (2, 16, SLAB) — double-buffered input
-    gstage,               # VMEM (2, 16, SLAB) — output staging slots
+    buf,                  # VMEM (2, 16, BWD_SLAB) — double-buffered input
+    gstage,               # VMEM (2, 16, BWD_SLAB) — output staging slots
     carry_ref,            # VMEM (2, NPIX)
     in_sem, out_sem,
     *, tile_h: int, tile_w: int, grid_w: int, width: int, height: int,
@@ -582,7 +604,7 @@ def _bwd_kernel(
     tile_id = ty * grid_w + tx
     start = pl.multiple_of(tile_starts[tile_id], ALIGN)
     npairs = tile_counts[tile_id]
-    nslabs = pl.cdiv(npairs, SLAB)
+    nslabs = pl.cdiv(npairs, BWD_SLAB)
 
     gamma = params[0]
     bg_depth = params[4]
@@ -635,31 +657,31 @@ def _bwd_kernel(
     # are zero-filled by a cheap staging loop first (the output buffer is
     # uninitialized memory).
     max_nc = jnp.max(n_contrib)
-    nslabs_live = pl.cdiv(jnp.minimum(npairs, max_nc), SLAB)
+    nslabs_live = pl.cdiv(jnp.minimum(npairs, max_nc), BWD_SLAB)
 
-    e_iota = jax.lax.broadcasted_iota(jnp.int32, (SLAB, 1), 0)
-    U_strict = _tri_upper_strict(SLAB)
+    e_iota = jax.lax.broadcasted_iota(jnp.int32, (BWD_SLAB, 1), 0)
+    U_strict = _tri_upper_strict(BWD_SLAB)
 
     def in_dma(slot, s):
-        off = pl.multiple_of(start + s * SLAB, ALIGN)
+        off = pl.multiple_of(start + s * BWD_SLAB, ALIGN)
         return pltpu.make_async_copy(
-            pairs_hbm.at[:, pl.ds(off, SLAB)], buf.at[slot], in_sem.at[slot])
+            pairs_hbm.at[:, pl.ds(off, BWD_SLAB)], buf.at[slot], in_sem.at[slot])
 
     def out_dma(slot, s):
-        off = pl.multiple_of(start + s * SLAB, ALIGN)
+        off = pl.multiple_of(start + s * BWD_SLAB, ALIGN)
         return pltpu.make_async_copy(
-            gstage.at[slot], pair_grads_hbm.at[:, pl.ds(off, SLAB)],
+            gstage.at[slot], pair_grads_hbm.at[:, pl.ds(off, BWD_SLAB)],
             out_sem.at[slot])
 
     def out_dma_wait(slot):
         pltpu.make_async_copy(gstage.at[slot],
-                              pair_grads_hbm.at[:, pl.ds(0, SLAB)],
+                              pair_grads_hbm.at[:, pl.ds(0, BWD_SLAB)],
                               out_sem.at[slot]).wait()
 
     # Zero-fill the dead tail [nslabs_live, nslabs) before the main loop
     # (synchronous per-slab DMA on slot 0, like the forward's zero_body).
     def zero_body(s, _):
-        gstage[0, :, :] = jnp.zeros((NUM_FIELDS, SLAB), jnp.float32)
+        gstage[0, :, :] = jnp.zeros((NUM_FIELDS, BWD_SLAB), jnp.float32)
         out_dma(0, s).start()
         out_dma_wait(0)
         return ()
@@ -679,8 +701,8 @@ def _bwd_kernel(
         in_dma(slot, s).wait()
 
         def _bwd_slab_math(buf2d, s):
-            buf_t = buf2d.T                                    # (SLAB, 16)
-            e = e_iota + s * SLAB                              # (S, 1)
+            buf_t = buf2d.T                                    # (BWD_SLAB, 16)
+            e = e_iota + s * BWD_SLAB                              # (S, 1)
             # Entries at/after the forward's last contributor were never
             # composited — fold the mask into the alpha recompute (zeroed
             # alpha + false ok) instead of a separate where pass.
@@ -738,10 +760,14 @@ def _bwd_kernel(
             A = carry_ref[0:1, :] + jnp.dot(
                 U_strict.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32)         # (S, NPIX)
-            dL_da = jnp.where(ok, T_excl * gdot - A * inv1m, 0.0)
+            # dL_da is finite even on masked entries (alpha was where'd to
+            # 0 there, so one_m = 1 and every factor is finite) — mask it
+            # ONCE into ``live``; every downstream gradient derives from
+            # that, so the per-branch ok/not_clamped selects are redundant.
+            dL_da = T_excl * gdot - A * inv1m
+            live = jnp.where(ok & (alpha_un < ALPHA_MAX), dL_da, 0.0)
 
-            not_clamped = alpha_un < ALPHA_MAX
-            d_opac = jnp.where(ok & not_clamped, dL_da * expp, 0.0)
+            d_opac = live * expp
             if variant == "GS":
                 # d(power)/dq = -0.5 * gamma * q^(gamma-1)
                 dpow_dq = jax.lax.cond(
@@ -750,8 +776,7 @@ def _bwd_kernel(
                     lambda v: -0.5 * gamma * jnp.exp(
                         jnp.clip((gamma - 1.0) * jnp.log(v), -87.0, 44.0)),
                     qs)
-                dL_dq = jnp.where(ok & not_clamped,
-                                  dL_da * alpha_un * dpow_dq, 0.0)
+                dL_dq = live * alpha_un * dpow_dq
                 GOP = _row_sum(d_opac)
                 # Direct, well-conditioned reductions against (dx, dy):
                 # dq/da = dx^2, dq/db = 2 dx dy, dq/dc = dy^2,
@@ -771,10 +796,10 @@ def _bwd_kernel(
                 if rich:
                     GDEP = G[:, 3:4]
                 else:
-                    GDEP = jnp.zeros((SLAB, 1), jnp.float32)
-                zero5 = jnp.zeros((SLAB, 5), jnp.float32)
+                    GDEP = jnp.zeros((BWD_SLAB, 1), jnp.float32)
+                zero5 = jnp.zeros((BWD_SLAB, 5), jnp.float32)
                 gmat = jnp.concatenate(
-                    [GX, GY, GA, GB, GC2, jnp.zeros((SLAB, 1), jnp.float32),
+                    [GX, GY, GA, GB, GC2, jnp.zeros((BWD_SLAB, 1), jnp.float32),
                      GOP, GCc, GDEP, zero5], axis=1)
                 new_A = carry_ref[0:1, :] + jnp.sum(w, axis=0, keepdims=True)
                 new_T = T_back * R_rev[0:1, :]
@@ -786,8 +811,7 @@ def _bwd_kernel(
                 lambda e_: jnp.exp(jnp.clip((2.0 * gamma - 1.0) * jnp.log(e_),
                                             -87.0, 44.0)),
                 eccs)
-            dL_decc = jnp.where(ok & not_clamped,
-                                dL_da * alpha_un * (-gamma) * ecc_pow, 0.0)
+            dL_decc = live * alpha_un * (-gamma) * ecc_pow
 
             # ecc subgradient on the argmin barycentric
             # (src/backward.cu:345-404); a3 = 1-a1-a2 chains into a1 and a2.
@@ -807,7 +831,7 @@ def _bwd_kernel(
             # ~1e-4 relative error on pixel-summed gradients — far below
             # training noise.
             GOP = _row_sum(d_opac)                             # (S, 1)
-            zero1 = jnp.zeros((SLAB, 1), jnp.float32)
+            zero1 = jnp.zeros((BWD_SLAB, 1), jnp.float32)
             if variant == "2D":
                 if rich:
                     lefts = jnp.concatenate(
@@ -815,11 +839,11 @@ def _bwd_kernel(
                         axis=0).astype(jnp.bfloat16)           # (5S, NPIX)
                     G = jnp.dot(lefts, R.T.astype(jnp.bfloat16),
                                 preferred_element_type=jnp.float32)  # (5S, 10)
-                    GA1 = G[0 * SLAB:1 * SLAB, 0:3]
-                    GA2 = G[1 * SLAB:2 * SLAB, 0:3]
-                    GC = G[2 * SLAB:3 * SLAB, 3:10]
-                    GD1 = G[3 * SLAB:4 * SLAB, 6:7]
-                    GD2 = G[4 * SLAB:5 * SLAB, 6:7]
+                    GA1 = G[0 * BWD_SLAB:1 * BWD_SLAB, 0:3]
+                    GA2 = G[1 * BWD_SLAB:2 * BWD_SLAB, 0:3]
+                    GC = G[2 * BWD_SLAB:3 * BWD_SLAB, 3:10]
+                    GD1 = G[3 * BWD_SLAB:4 * BWD_SLAB, 6:7]
+                    GD2 = G[4 * BWD_SLAB:5 * BWD_SLAB, 6:7]
                     # field order: rgb(3), d0, nx, ny, nz, d1, d2
                     gmat = jnp.concatenate(
                         [GA1, GA2, GOP, GC, GD1, GD2], axis=1)  # (S, 16)
@@ -828,10 +852,10 @@ def _bwd_kernel(
                                             axis=0).astype(jnp.bfloat16)
                     G = jnp.dot(lefts, R[0:6].T.astype(jnp.bfloat16),
                                 preferred_element_type=jnp.float32)  # (3S, 6)
-                    GA1 = G[0 * SLAB:1 * SLAB, 0:3]
-                    GA2 = G[1 * SLAB:2 * SLAB, 0:3]
-                    GC = G[2 * SLAB:3 * SLAB, 3:6]
-                    zero = jnp.zeros((SLAB, 6), jnp.float32)
+                    GA1 = G[0 * BWD_SLAB:1 * BWD_SLAB, 0:3]
+                    GA2 = G[1 * BWD_SLAB:2 * BWD_SLAB, 0:3]
+                    GC = G[2 * BWD_SLAB:3 * BWD_SLAB, 3:6]
+                    zero = jnp.zeros((BWD_SLAB, 6), jnp.float32)
                     gmat = jnp.concatenate([GA1, GA2, GOP, GC, zero], axis=1)
             else:
                 # a_i = A_i/D, t = K/D: chain through the quotient.
@@ -847,11 +871,11 @@ def _bwd_kernel(
                     G = jnp.dot(lefts, R.T.astype(jnp.bfloat16),
                                 preferred_element_type=jnp.float32)  # (5S, 10)
                     # D coeffs also receive the raw-normal accumulation grads
-                    GD = G[0 * SLAB:1 * SLAB, 0:3] + G[3 * SLAB:4 * SLAB, 6:9]
-                    GA1 = G[1 * SLAB:2 * SLAB, 0:3]
-                    GA2 = G[2 * SLAB:3 * SLAB, 0:3]
-                    GC = G[3 * SLAB:4 * SLAB, 3:6]             # rgb
-                    GK = G[4 * SLAB:5 * SLAB, 9:10]            # via t = K/D
+                    GD = G[0 * BWD_SLAB:1 * BWD_SLAB, 0:3] + G[3 * BWD_SLAB:4 * BWD_SLAB, 6:9]
+                    GA1 = G[1 * BWD_SLAB:2 * BWD_SLAB, 0:3]
+                    GA2 = G[2 * BWD_SLAB:3 * BWD_SLAB, 0:3]
+                    GC = G[3 * BWD_SLAB:4 * BWD_SLAB, 3:6]             # rgb
+                    GK = G[4 * BWD_SLAB:5 * BWD_SLAB, 9:10]            # via t = K/D
                     gmat = jnp.concatenate(
                         [GD, GA1, GA2, GOP, GC, GK, zero1, zero1], axis=1)
                 else:
@@ -859,10 +883,10 @@ def _bwd_kernel(
                                             axis=0).astype(jnp.bfloat16)
                     G = jnp.dot(lefts, R[0:6].T.astype(jnp.bfloat16),
                                 preferred_element_type=jnp.float32)  # (4S, 6)
-                    GD = G[0 * SLAB:1 * SLAB, 0:3]
-                    GA1 = G[1 * SLAB:2 * SLAB, 0:3]
-                    GA2 = G[2 * SLAB:3 * SLAB, 0:3]
-                    GC = G[3 * SLAB:4 * SLAB, 3:6]
+                    GD = G[0 * BWD_SLAB:1 * BWD_SLAB, 0:3]
+                    GA1 = G[1 * BWD_SLAB:2 * BWD_SLAB, 0:3]
+                    GA2 = G[2 * BWD_SLAB:3 * BWD_SLAB, 0:3]
+                    GC = G[3 * BWD_SLAB:4 * BWD_SLAB, 3:6]
                     gmat = jnp.concatenate(
                         [GD, GA1, GA2, GOP, GC, zero1, zero1, zero1], axis=1)
 
@@ -876,7 +900,7 @@ def _bwd_kernel(
         @pl.when(i >= 2)
         def _():
             out_dma_wait(slot)
-        gstage[slot, :, :] = gmat.T                            # (16, SLAB)
+        gstage[slot, :, :] = gmat.T                            # (16, BWD_SLAB)
         out_dma(slot, s).start()
 
         carry_ref[0:1, :] += dA
@@ -947,8 +971,8 @@ def blend_backward(pairs: jax.Array, tile_starts: jax.Array,
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
-            pltpu.VMEM((2, NUM_FIELDS, SLAB), jnp.float32),
-            pltpu.VMEM((2, NUM_FIELDS, SLAB), jnp.float32),
+            pltpu.VMEM((2, NUM_FIELDS, BWD_SLAB), jnp.float32),
+            pltpu.VMEM((2, NUM_FIELDS, BWD_SLAB), jnp.float32),
             pltpu.VMEM((2, npix), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),

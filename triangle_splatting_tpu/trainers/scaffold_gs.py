@@ -466,11 +466,12 @@ class ScaffoldGSTrainer(BaseTrainer):
                 # sizes max_pairs against — NOT the per-view selected count
                 # (which inflates per-primitive need ~(C*k)/n_sel x and
                 # defeats the shrink path under heavy culling)
-                # Cold-start sizing shrinks fully; hysteresis thereafter
+                # Cold-start sizing shrinks fully; hysteresis thereafter;
+                # an overflow window doesn't consume the one-shot flag
                 # (see vanilla_ts).
                 first_sizing = (np_used >= 0
                                 and not getattr(self, "_ppt_sized", False))
-                if np_used >= 0:
+                if np_used >= 0 and not bool(lv[3]):
                     self._ppt_sized = True
                 new_ppt = adapt_pair_budget(
                     self._ppt,

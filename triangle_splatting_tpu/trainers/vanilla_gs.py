@@ -477,11 +477,12 @@ class VanillaGSTrainer(BaseTrainer):
                 np_used = int(lv[1])   # -1 when DP (slim aux is grow-only)
                 # denominator = padded capacity (== rasterize's max_pairs
                 # P), not the alive count — see vanilla_ts
-                # Cold-start sizing shrinks fully; hysteresis thereafter
+                # Cold-start sizing shrinks fully; hysteresis thereafter;
+                # an overflow window doesn't consume the one-shot flag
                 # (see vanilla_ts).
                 first_sizing = (np_used >= 0
                                 and not getattr(self, "_ppt_sized", False))
-                if np_used >= 0:
+                if np_used >= 0 and not bool(lv[2]):
                     self._ppt_sized = True
                 new_ppt = adapt_pair_budget(
                     self._ppt,

@@ -804,9 +804,13 @@ class VanillaTSTrainer(BaseTrainer):
                 # margin*need (the config default is a roomy guess and the
                 # 0.5 hysteresis would pin it there for the whole run —
                 # ~1.7x of pair-scaled sort/pack cost every step); later
-                # windows keep the anti-thrash hysteresis.
+                # windows keep the anti-thrash hysteresis. An overflow
+                # window takes the grow branch without running the
+                # full-shrink sizing — don't consume the one-shot flag on
+                # it, or the cold-start opportunity is lost for the run.
                 first_sizing = not getattr(self, "_ppt_sized", False)
-                self._ppt_sized = True
+                if not bool(lv[2]):
+                    self._ppt_sized = True
                 new_ppt = adapt_pair_budget(
                     self._ppt, int(lv[1]), cap_step, bool(lv[2]),
                     shrink_if_below=1.0 if first_sizing else 0.5)

@@ -144,12 +144,17 @@ _UPLOAD_LIMIT = 5 * 1024 ** 3   # single put_object_from_file cap
 _MULTIPART_MIN = 1024 ** 3      # same-bucket copies above this go multipart
 
 
-def _with_retries(fn, what: str, attempts: int = 10, delay: float = 3.0):
+def _with_retries(fn, what: str, attempts: int = 10, delay: float = 3.0,
+                  no_retry: tuple = ()):
     """Run ``fn`` with flat retries (reference io_utils.py:292-302: OSS
-    calls fail transiently; 10 tries, 3 s apart)."""
+    calls fail transiently; 10 tries, 3 s apart). Exceptions in
+    ``no_retry`` are raised immediately — for failures that can never
+    succeed on retry (e.g. a 409 concurrent-writer position mismatch)."""
     for n in range(attempts):
         try:
             return fn()
+        except no_retry:
+            raise
         except Exception as e:                     # noqa: BLE001
             if n + 1 == attempts:
                 raise
@@ -200,11 +205,21 @@ class _AppendFile:
         if not data:
             return
         try:
+            # A 409 position mismatch means another writer advanced the
+            # object — retrying at the same position can never succeed, so
+            # it skips the retry loop and surfaces the same actionable
+            # error write() raises.
             res = _with_retries(
                 lambda: self._bucket.append_object(self._key, self.position,
                                                    data),
                 what=f"append oss://{self._bucket.bucket_name}/{self._key}",
-                attempts=3, delay=5.0)
+                attempts=3, delay=5.0,
+                no_retry=(self._oss.exceptions.PositionNotEqualToLength,))
+        except self._oss.exceptions.PositionNotEqualToLength:
+            raise RuntimeError(
+                f"concurrent writers detected on oss://"
+                f"{self._bucket.bucket_name}/{self._key} "
+                "(409 PositionNotEqualToLength)") from None
         except self._oss.exceptions.ObjectNotAppendable:
             # The object was created by a plain put (not appendable):
             # rewrite it as one appendable object with old + new content
