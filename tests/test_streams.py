@@ -323,3 +323,41 @@ class TestPackBackward:
             np.testing.assert_allclose(
                 np.asarray(vjp_live(ct)[0]), np.asarray(vjp_full(ct)[0]),
                 rtol=0, atol=0, err_msg=f"live_rows={live}")
+
+
+class TestAlignedCapacity:
+    """Pins the aligned-pair-buffer sizing contract between binning and the
+    blend kernels (blend.py streams SLAB-sized compute slabs from
+    ALIGN-aligned tile starts and may read/write up to SLAB - ALIGN slots
+    past the last tile's aligned end)."""
+
+    def test_covers_worst_case_layout(self):
+        from triangle_splatting_tpu.ops.binning import aligned_capacity
+        from triangle_splatting_tpu.ops.pallas import blend
+
+        align = blend.ALIGN
+        for num_tiles in (1, 7, 625):
+            for max_pairs in (align, 1000, 128 * 24):
+                cap = aligned_capacity(max_pairs, num_tiles, align)
+                # Adversarial layout: every tile holds 1 pair -> each costs
+                # a full ALIGN block; remaining budget lands in the last
+                # tile, whose final slab can overrun SLAB - ALIGN slots.
+                per_tile_waste = num_tiles * align
+                worst = max_pairs + per_tile_waste - num_tiles \
+                    + max(blend.SLAB - align, 0)
+                assert cap >= worst, (num_tiles, max_pairs, cap, worst)
+
+    def test_pad_tracks_slab_growth(self, monkeypatch):
+        """Raising blend.SLAB must grow the derived tail pad (the original
+        +1-block pad silently under-allocated for SLAB > 2 * ALIGN)."""
+        from triangle_splatting_tpu.ops import binning
+        from triangle_splatting_tpu.ops.pallas import blend
+
+        base = binning.aligned_capacity(1000, 10, blend.ALIGN)
+        monkeypatch.setattr(blend, "SLAB", blend.ALIGN * 8)
+        grown = binning.aligned_capacity(1000, 10, blend.ALIGN)
+        assert grown - base >= blend.ALIGN * 8 - max(blend.SLAB,
+                                                     blend.ALIGN * 2)
+        # and the overrun region is fully inside the pad
+        assert grown >= 1000 + 10 * blend.ALIGN + (blend.ALIGN * 8
+                                                   - blend.ALIGN)
