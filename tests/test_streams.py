@@ -361,3 +361,44 @@ class TestAlignedCapacity:
         # and the overrun region is fully inside the pad
         assert grown >= 1000 + 10 * blend.ALIGN + (blend.ALIGN * 8
                                                    - blend.ALIGN)
+
+
+class TestSlabSplit:
+    """FWD_SLAB and BWD_SLAB are tuned independently (the r4 sweep); the
+    kernels must stay correct when they differ. Runs a small forward +
+    backward with the backward slab doubled, against the unmodified
+    baseline."""
+
+    def test_unequal_slabs_match_baseline(self, monkeypatch):
+        from triangle_splatting_tpu.ops import rasterize as rz
+        from triangle_splatting_tpu.ops.pallas import blend
+        from triangle_splatting_tpu.ops.projection import RasterSettings
+        from triangle_splatting_tpu.utils.testing import (make_camera,
+                                                          make_random_scene)
+
+        P = 200
+        settings = RasterSettings(image_width=160, image_height=96)
+        cam = make_camera(160, 96, 60.0)
+        s = make_random_scene(P, seed=5)
+        v = jnp.asarray(s["vertex"])
+        o = jnp.asarray(s["opacity"])
+        c = jnp.asarray(s["rgb"])
+
+        def loss(vertex, opacity, rgb):
+            out = rz.rasterize(vertex, opacity, None, cam, settings,
+                               colors=rgb, interpret=True)
+            color = out["render"] if isinstance(out, dict) else out.color
+            return jnp.sum(color ** 2) + jnp.sum(color * 0.3)
+
+        base_val, base_grads = jax.value_and_grad(loss, (0, 1, 2))(v, o, c)
+
+        monkeypatch.setattr(blend, "BWD_SLAB", blend.BWD_SLAB * 2)
+        monkeypatch.setattr(blend, "SLAB",
+                            max(blend.FWD_SLAB, blend.BWD_SLAB))
+        got_val, got_grads = jax.value_and_grad(loss, (0, 1, 2))(v, o, c)
+
+        np.testing.assert_allclose(float(got_val), float(base_val),
+                                   rtol=1e-6)
+        for g0, g1 in zip(base_grads, got_grads):
+            np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                                       rtol=5e-4, atol=5e-6)
