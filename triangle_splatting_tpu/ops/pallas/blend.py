@@ -658,6 +658,9 @@ def _bwd_kernel(
     # uninitialized memory).
     max_nc = jnp.max(n_contrib)
     nslabs_live = pl.cdiv(jnp.minimum(npairs, max_nc), BWD_SLAB)
+    # Per-pixel processed bound, npairs folded in ONCE per tile so the
+    # per-slab mask is a single (S, NPIX) compare instead of two + an and.
+    nc_eff = jnp.minimum(n_contrib, npairs)            # (1, NPIX)
 
     e_iota = jax.lax.broadcasted_iota(jnp.int32, (BWD_SLAB, 1), 0)
     U_strict = _tri_upper_strict(BWD_SLAB)
@@ -706,7 +709,7 @@ def _bwd_kernel(
             # Entries at/after the forward's last contributor were never
             # composited — fold the mask into the alpha recompute (zeroed
             # alpha + false ok) instead of a separate where pass.
-            processed = (e < npairs) & (e < n_contrib)         # (S, NPIX)
+            processed = e < nc_eff                             # (S, NPIX)
             if variant == "GS":
                 q, qs, dx, dy, expp, alpha_un, alpha, ok = _alpha_terms_gs(
                     buf_t, px, py, gamma, processed)
