@@ -93,6 +93,49 @@ class TestTrainerE2E:
         assert int(t3.state.alive.sum()) == int(trainer.state.alive.sum())
 
 
+class TestStatsOutputDCE:
+    """Without a ``statistic`` config block, _train_step drops the
+    statistics products (radii/contrib_sum/contrib_max/visible_mask) from
+    the returned aux — unconsumed jit OUTPUTS are still materialized, so
+    keeping them forces the contrib owner-sort + segment reduction every
+    step (PERF.md r4). Lock the DCE in by counting sorts in the lowered
+    step: binning's key sort + the pack-VJP owner sort stay, the
+    contrib-stats sort appears only when statistics are tracked."""
+
+    @staticmethod
+    def _step_sort_count(trainer):
+        import re
+        trainer._init_model()
+        trainer._track_stats = (trainer._mu is not None
+                                and trainer._mu.statistic is not None)
+        cam = trainer.dataset.nextTrainData().strip_static()
+        settings = trainer._settings_for(cam)
+        sched = trainer._pack.pack(trainer._loss_weights(1),
+                                   trainer._lrs(1), jnp.zeros(3), 1)
+        step = type(trainer)._train_step.__wrapped__
+        fn = lambda p, o, s, c, sc, ni: step(trainer, settings, p, o, s,
+                                             c, sc, ni)
+        txt = jax.jit(fn).lower(trainer.params, trainer.opt, trainer.state,
+                                cam, sched, None).as_text()
+        return len(re.findall(r'"stablehlo\.sort"', txt))
+
+    def test_contrib_stats_dced_without_statistic_block(
+            self, synthetic_dataset, tmp_path):
+        from triangle_splatting_tpu.trainers import build_trainer
+        cfg = make_config(synthetic_dataset, tmp_path / "o1")
+        base = self._step_sort_count(
+            build_trainer(cfg, log_file=False, interpret=True))
+        assert base == 2, base     # binning key sort + pack-VJP owner sort
+
+        from triangle_splatting_tpu.utils.config import dict_to_config
+        cfg2 = make_config(synthetic_dataset, tmp_path / "o2")
+        cfg2.model.model_update.statistic = dict_to_config(
+            {"start_iter": 0, "end_iter": 1000})
+        tracked = self._step_sort_count(
+            build_trainer(cfg2, log_file=False, interpret=True))
+        assert tracked == base + 1, (base, tracked)   # + contrib-stats sort
+
+
 class TestMeshTrainerE2E:
     def test_solidify_pipeline(self, synthetic_dataset, tmp_path):
         """Mesh-config path: 3D rasterizer, STE opacity, gamma anneal,

@@ -171,6 +171,13 @@ class VanillaGSTrainer(BaseTrainer):
                 state, g_m2d, aux["radii"], aux["contrib_sum"],
                 aux["contrib_max"],
                 aux["visible_mask"] & self._stat_gate(iteration))
+        else:
+            # Unconsumed jit outputs are still materialized — drop the
+            # statistics products so XLA DCEs the contrib owner-sort +
+            # segment reduction when no statistic block exists (see
+            # vanilla_ts._train_step).
+            for k in ("radii", "contrib_sum", "contrib_max", "visible_mask"):
+                del aux[k]
         aux["log_vec"] = self._log_vec(state, loss, aux)
         return params, opt, state, loss, aux
 

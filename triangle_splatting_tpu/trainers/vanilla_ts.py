@@ -275,6 +275,15 @@ class VanillaTSTrainer(BaseTrainer):
             state = M.update_statistics(state, g_c2d, aux["radii"],
                                         aux["contrib_sum"], aux["contrib_max"],
                                         aux["visible_mask"] & self._stat_gate(iteration))
+        else:
+            # Every aux entry is a jit OUTPUT, materialized even if the host
+            # never reads it. With no statistic block (the photo configs)
+            # nothing consumes the statistics products — dropping them here
+            # lets XLA DCE their producers, in particular the contrib
+            # owner-sort + streaming segment reduction in rasterize's
+            # _contrib_stats (~1 ms/step @800²/100k).
+            for k in ("radii", "contrib_sum", "contrib_max", "visible_mask"):
+                del aux[k]
         aux["log_vec"] = self._log_vec(params, state, loss, aux)
         return params, opt, state, loss, aux
 
