@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--init_points", type=int, default=100_000)
     ap.add_argument("--adc", action="store_true",
                     help="ADC rehearsal: 20k init + densify/prune enabled")
+    ap.add_argument("--model", default="ts", choices=["ts", "gs"],
+                    help="--adc primitive: ts = VanillaTS triangles, "
+                    "gs = VanillaGS gaussians (long-horizon validation of "
+                    "the custom-gaussian-rasterization equivalent)")
     ap.add_argument("--mesh", action="store_true",
                     help="mesh/solidify rehearsal: NerfSynthetic_VanillaTS_"
                     "mesh.yaml semantics (3D rasterizer, gamma 1->50, STE, "
@@ -116,7 +120,7 @@ def main():
     elif args.adc:
         from triangle_splatting_tpu.trainers.smoke import make_smoke_config
         cfg = make_smoke_config(data_dir, os.path.join(args.root, "out"),
-                                args.iters, densify=True)
+                                args.iters, densify=True, model=args.model)
         # Reference-like cadence instead of the smoke's iters//8 scaling:
         # densify every 500 from 500 to iters*3/4, prune every 500.
         mu = cfg.model.model_update
