@@ -101,7 +101,14 @@ class PrefetchLoader:
         return item
 
     def close(self):
-        self.pool.shutdown(wait=False, cancel_futures=True)
+        try:
+            self.pool.shutdown(wait=False, cancel_futures=True)
+        except Exception:
+            # __del__-at-interpreter-shutdown path: concurrent.futures'
+            # shutdown touches module globals (queue.Empty) that may
+            # already be torn down. Nothing leaks — executor threads are
+            # joined by its own atexit hook.
+            pass
 
 
 class BaseDatasetFactory:

@@ -822,8 +822,12 @@ def _bwd_kernel(
             is2 = jnp.logical_and(jnp.logical_not(is1), a2 <= a3)
             is3 = jnp.logical_not(jnp.logical_or(is1, is2))
             d_ecc3 = 3.0 * dL_decc
-            dL_da1 = jnp.where(is1, -d_ecc3, 0.0) + jnp.where(is3, d_ecc3, 0.0)
-            dL_da2 = jnp.where(is2, -d_ecc3, 0.0) + jnp.where(is3, d_ecc3, 0.0)
+            # is1/is2/is3 are mutually exclusive and exhaustive, so the
+            # is3 contribution can ride the else-branch of each select
+            # (3 fewer (S, NPIX) passes than where+where+add per output).
+            s3 = jnp.where(is3, d_ecc3, 0.0)
+            dL_da1 = jnp.where(is1, -d_ecc3, s3)
+            dL_da2 = jnp.where(is2, -d_ecc3, s3)
             if variant == "2D" and rich:
                 cgd = contrib * g_dep
                 dL_da1 = dL_da1 + cgd * _fld(buf_t, 14)
