@@ -26,21 +26,29 @@ def render(scene, impl, gamma=1.0, settings=SETTINGS, cam=CAM, **kw):
 
 
 class TestForwardParity:
-    @pytest.mark.parametrize("gamma", [1.0, 3.7])
+    # gamma 50 = the solidify endpoint (hard falloff, exp/log-space pow
+    # with the +-87/44 clip active) — the regime the mesh runs train in.
+    @pytest.mark.parametrize("gamma", [1.0, 3.7, 50.0])
     def test_matches_oracle(self, gamma):
         scene = make_random_scene(150, seed=0)
         o = render(scene, "oracle", gamma)
         p = render(scene, "pallas", gamma)
         # fp reassociation can flip a mask at the alpha>=1/255 / T<=1e-4
         # thresholds for isolated pixels; the spec budget is 1e-3/pixel.
+        # At gamma 50 the falloff is a near-step function, so a single
+        # reassociation-flipped boundary pixel carries ~full alpha
+        # (observed: 1 pixel in the whole frame at ~6.5e-4); the spec
+        # budget is 1e-3/pixel.
+        tol = 6e-4 if gamma < 10 else 1e-3
         np.testing.assert_allclose(np.asarray(p["render"]),
-                                   np.asarray(o["render"]), atol=6e-4)
+                                   np.asarray(o["render"]), atol=tol)
         np.testing.assert_allclose(np.asarray(p["depth"]),
                                    np.asarray(o["depth"]), atol=5e-2)
         np.testing.assert_allclose(np.asarray(p["normal"]),
-                                   np.asarray(o["normal"]), atol=5e-4)
+                                   np.asarray(o["normal"]),
+                                   atol=5e-4 if gamma < 10 else 1e-3)
         np.testing.assert_allclose(np.asarray(p["final_T"]),
-                                   np.asarray(o["final_T"]), atol=6e-4)
+                                   np.asarray(o["final_T"]), atol=tol)
 
     @pytest.mark.parametrize("th,tw", [(32, 32), (16, 32), (8, 64)])
     def test_tile_shapes_match_oracle(self, th, tw):
@@ -245,7 +253,7 @@ class Test3DVariant:
                          colors=jnp.asarray(scene["rgb"]),
                          impl=impl, interpret=True, **kw)
 
-    @pytest.mark.parametrize("gamma", [1.0, 3.7])
+    @pytest.mark.parametrize("gamma", [1.0, 3.7, 50.0])
     def test_forward_matches_3d_oracle(self, gamma):
         """The kernel's rational-affine reformulation vs the direct
         ray-plane-intersection oracle (independent derivations)."""
