@@ -223,3 +223,39 @@ class TestFileHandler:
         assert not h.putFile(str(tmp_path / "c1" / "f.txt"), "f.txt",
                              upload=True)
         assert not h._can_upload
+
+
+# --- pipeline fan-out (reference utils/pipeline_utils.py:6-64) -------------
+
+def _touch_job(out_dir, name):
+    """Top-level so mp spawn can pickle it."""
+    import pathlib
+    import time as _t
+    pathlib.Path(out_dir, name).write_text(str(_t.time()))
+
+
+def _failing_job(out_dir, name):
+    raise SystemExit(3)
+
+
+class TestPipelineFanOut:
+    def test_sequential_path(self, tmp_path):
+        from triangle_splatting_tpu.utils.pipeline_utils import run_exp
+        jobs = [(str(tmp_path), f"j{i}") for i in range(3)]
+        run_exp(_touch_job, jobs, num_workers=1)
+        assert all((tmp_path / f"j{i}").exists() for i in range(3))
+
+    def test_process_batches(self, tmp_path):
+        """num_workers=2 over 4 jobs: two spawn batches, all complete."""
+        from triangle_splatting_tpu.utils.pipeline_utils import run_exp
+        jobs = [(str(tmp_path), f"p{i}") for i in range(4)]
+        run_exp(_touch_job, jobs, num_workers=2)
+        assert all((tmp_path / f"p{i}").exists() for i in range(4))
+        # batch boundary: p0/p1 started before p2/p3 finished writing
+        t = [float((tmp_path / f"p{i}").read_text()) for i in range(4)]
+        assert max(t[0], t[1]) <= max(t[2], t[3]) + 1e-6
+
+    def test_child_failure_raises(self, tmp_path):
+        from triangle_splatting_tpu.utils.pipeline_utils import run_exp
+        with pytest.raises(RuntimeError, match="exit 3"):
+            run_exp(_failing_job, [(str(tmp_path), "x")], num_workers=2)
