@@ -97,6 +97,29 @@ class TestMultichip:
         trainer._mesh = None
         assert abs(psnr_dp - trainer._evaluate(11)) < 1e-3
 
+    def test_dp_eval_batched_matches_sequential(self, tmp_path):
+        """dp_layout batching in EVAL: data_parallel=16 on the 8-device mesh
+        gives B=2 local views per device; the batched sharded eval must
+        score every test view identically to the sequential single-device
+        path (including the pad-by-repetition tail: 3 views into one
+        16-slot chunk)."""
+        from triangle_splatting_tpu.trainers.smoke import make_smoke_config
+        from triangle_splatting_tpu.trainers.vanilla_ts import VanillaTSTrainer
+        from triangle_splatting_tpu.utils.testing import build_synthetic_nerf_dataset
+
+        root = build_synthetic_nerf_dataset(tmp_path / "data", res=48,
+                                            n_tri=100, n_train=16, n_test=3)
+        cfg = make_smoke_config(root, tmp_path / "out", 4)
+        cfg.trainer.data_parallel = 16
+        trainer = VanillaTSTrainer(cfg, impl="oracle", log_file=False)
+        trainer._init_model()
+        trainer.train()
+        assert trainer._dp_b == 2, trainer._dp_b
+        psnr_dp = trainer._evaluate(4)
+        trainer._mesh = None
+        psnr_seq = trainer._evaluate(5)
+        assert abs(psnr_dp - psnr_seq) < 1e-3, (psnr_dp, psnr_seq)
+
     def test_trainer_dp_step_matches_mean_gradient(self, tmp_path):
         """One _train_step_dp over 2 cameras == Adam on the mean of the two
         per-camera gradients, with per-VIEW statistics (grad norms summed,

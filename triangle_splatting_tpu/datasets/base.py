@@ -101,14 +101,17 @@ class PrefetchLoader:
         return item
 
     def close(self):
+        import sys
         try:
             self.pool.shutdown(wait=False, cancel_futures=True)
         except Exception:
             # __del__-at-interpreter-shutdown path: concurrent.futures'
             # shutdown touches module globals (queue.Empty) that may
             # already be torn down. Nothing leaks — executor threads are
-            # joined by its own atexit hook.
-            pass
+            # joined by its own atexit hook. During NORMAL operation a
+            # shutdown failure is real news — re-raise it.
+            if not sys.is_finalizing():
+                raise
 
 
 class BaseDatasetFactory:

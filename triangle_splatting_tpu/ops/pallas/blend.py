@@ -106,6 +106,9 @@ SLAB = max(FWD_SLAB, BWD_SLAB)   # worst-case slab for the capacity pad
 #                         its neighbor's real contrib/gradient writes and
 #                         silently corrupt them — keep the grid sequential
 #                         or make out_dma exact before parallelizing.
+#                         _GRID_SEMANTICS below pins this statically: both
+#                         pallas_calls pass it, and the assert right after
+#                         it refuses a parallel grid whenever SLAB > ALIGN.
 
 # Count of leading gmat rows that can be nonzero in ``_bwd_kernel``, per
 # (variant, rich). MUST match the gmat concatenations below — the pack
@@ -125,6 +128,18 @@ LIVE_GRAD_ROWS = {
     ("3D", True): 14, ("3D", False): 13,
     ("GS", True): 11, ("GS", False): 10,
 }
+# Explicit grid semantics for both blend kernels. The out_dma write-overrun
+# invariant above is only safe on a sequential grid; this constant + assert
+# make that machine-checked instead of a comment (a future megacore/parallel
+# experiment must first make the final out_dma exact when SLAB > ALIGN).
+_GRID_SEMANTICS = (pltpu.GridDimensionSemantics.ARBITRARY,
+                   pltpu.GridDimensionSemantics.ARBITRARY)
+assert SLAB == ALIGN or all(
+    s == pltpu.GridDimensionSemantics.ARBITRARY for s in _GRID_SEMANTICS), (
+    "out_dma overruns up to SLAB - ALIGN slots into the neighbor tile's "
+    "range; a parallel grid would race that zero-write against the "
+    "neighbor's real writes. Make out_dma exact before parallelizing.")
+
 T_EPS = 1e-4
 ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.99
@@ -274,7 +289,7 @@ def _suffix_prod(x):
 
 def _fwd_kernel(
     # scalar prefetch
-    tile_starts,          # (num_tiles + 1,) int32, SMEM — FWD_SLAB-aligned
+    tile_starts,          # (num_tiles + 1,) int32, SMEM — ALIGN-aligned
     tile_counts,          # (num_tiles,) int32, SMEM — real pairs per tile
     params,               # (8,) f32, SMEM: [gamma, bg_r, bg_g, bg_b, bg_depth]
     # inputs
@@ -555,6 +570,8 @@ def blend_forward(pairs: jax.Array, tile_starts: jax.Array,
     ]
     color, depth, normal, final_T, n_contrib, pair_contrib = pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=out_shapes, interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=_GRID_SEMANTICS),
     )(tile_starts, tile_counts, params, pairs)
 
     # tile-major (T, 8, 128) -> image (Hp, Wp); the flat 1024 vector is the
@@ -989,6 +1006,8 @@ def blend_backward(pairs: jax.Array, tile_starts: jax.Array,
         kernel, grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((NUM_FIELDS, mp_pad), jnp.float32)],
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=_GRID_SEMANTICS),
     )(tile_starts, tile_counts, params, pairs, pad_hw(g_color),
       pad_hw(g_depth), pad_hw(g_normal), pad_hw(g_finalT), pad_hw(final_T),
       pad_hw(n_contrib))

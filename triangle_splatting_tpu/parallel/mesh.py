@@ -109,16 +109,22 @@ def stack_dp_cameras(cameras: list[Camera]) -> Camera:
 
 
 def dp_eval_scores(mesh, eval_step_dp, settings, params, state, cameras,
-                   background, *extra, axis: str = "data"):
+                   background, *extra, axis: str = "data",
+                   cameras_per_device: int = 1):
     """Drive a sharded forward-only eval step over a test-view list.
 
     Yields ``(index, camera, img, psnr, ssim)`` per real view; views are
-    grouped one-per-device with the final chunk padded by repetition (the
-    padded scores are dropped). ``eval_step_dp(settings, params, state,
-    stacked_cameras, background, *extra)`` must return per-device-stacked
-    ``(imgs, psnrs, ssims)``.
+    grouped ``cameras_per_device`` (B) per device — one pass scores
+    ``mesh_size * B`` views, so eval throughput scales with the same
+    ``dp_layout`` the train step uses (big block_all test splits would
+    otherwise bottleneck one-view-per-device). The final chunk is padded by
+    repetition (the padded scores are dropped).
+    ``eval_step_dp(settings, params, state, stacked_cameras, background,
+    *extra)`` receives a camera batch of ``mesh_size * B`` views sharded
+    over ``axis`` (each device scans its local B) and must return
+    batch-stacked ``(imgs, psnrs, ssims)``.
     """
-    n = mesh.shape[axis]
+    n = mesh.shape[axis] * int(cameras_per_device)
     for c0 in range(0, len(cameras), n):
         chunk = cameras[c0:c0 + n]
         real = len(chunk)

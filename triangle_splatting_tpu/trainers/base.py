@@ -47,6 +47,15 @@ class BaseTrainer:
                              log_file=log_file,
                              use_tensorboard=bool(config.trainer.use_tensorboard))
 
+        # Multi-host: join the jax.distributed job BEFORE any jax use when
+        # the trainer.distributed block or TS_COORDINATOR env is present
+        # (SURVEY §5 distributed backend; parallel/multihost.py). After
+        # this, jax.devices() is the GLOBAL pool, so the DP mesh the
+        # subclasses build spans hosts with no further changes.
+        from ..parallel.multihost import distributed_settings, maybe_initialize
+        if distributed_settings(config) is not None:
+            maybe_initialize(config, self.logger)
+
         seed = config.trainer.seed
         if seed is not None:
             random.seed(seed)

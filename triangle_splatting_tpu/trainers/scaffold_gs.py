@@ -323,16 +323,19 @@ class ScaffoldGSTrainer(BaseTrainer):
 
     @functools.partial(jax.jit, static_argnums=(0, 1))
     def _eval_step_dp(self, settings, params, state, cameras, background):
-        """One test view per mesh device (forward-only DP)."""
+        """B test views per mesh device (forward-only DP; B = the incoming
+        batch's local camera count, dp_layout's cameras_per_device)."""
         from ..parallel.mesh import get_shard_map
         repl = jax.sharding.PartitionSpec()
         shard = jax.sharding.PartitionSpec("data")
 
         def per_device(params, state, cameras, background):
-            camera = jax.tree_util.tree_map(lambda x: x[0], cameras)
-            img, psnr, ssim_val = self._eval_step.__wrapped__(
-                self, settings, params, state, camera, background)
-            return img[None], psnr[None], ssim_val[None]
+            def one(_, camera):
+                return None, self._eval_step.__wrapped__(
+                    self, settings, params, state, camera, background)
+
+            _, (imgs, ps, ss) = jax.lax.scan(one, None, cameras)
+            return imgs, ps, ss
 
         smapped = get_shard_map()(
             per_device, mesh=self._mesh,
@@ -505,7 +508,8 @@ class ScaffoldGSTrainer(BaseTrainer):
             for _, _, _, p, s in dp_eval_scores(
                     self._mesh, self._eval_step_dp,
                     self._settings_for(test_cams[0]), self.params,
-                    self.state, test_cams, bg):
+                    self.state, test_cams, bg,
+                    cameras_per_device=self._dp_b):
                 psnrs.append(float(p))
                 ssims.append(float(s))
             test_cams = []

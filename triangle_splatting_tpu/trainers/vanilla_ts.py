@@ -443,17 +443,22 @@ class VanillaTSTrainer(BaseTrainer):
     @functools.partial(jax.jit, static_argnums=(0, 1, 6))
     def _eval_step_dp(self, settings, params, state, cameras, background,
                       eval_mask: bool):
-        """Render/score one test view per mesh device (forward-only DP):
-        the test set evaluates in ceil(n_views / n_devices) passes."""
+        """Render/score B test views per mesh device (forward-only DP):
+        the test set evaluates in ceil(n_views / (n_devices * B)) passes,
+        B = the local camera count of the incoming batch (dp_layout's
+        cameras_per_device — same layout logic as the train step)."""
         from ..parallel.mesh import get_shard_map
         repl = jax.sharding.PartitionSpec()
         shard = jax.sharding.PartitionSpec("data")
 
         def per_device(params, state, cameras, background):
-            camera = jax.tree_util.tree_map(lambda x: x[0], cameras)
-            img, psnr, ssim_val = self._eval_step.__wrapped__(
-                self, settings, params, state, camera, background, eval_mask)
-            return img[None], psnr[None], ssim_val[None]
+            def one(_, camera):
+                return None, self._eval_step.__wrapped__(
+                    self, settings, params, state, camera, background,
+                    eval_mask)
+
+            _, (imgs, ps, ss) = jax.lax.scan(one, None, cameras)
+            return imgs, ps, ss
 
         smapped = get_shard_map()(
             per_device, mesh=self._mesh,
@@ -889,7 +894,8 @@ class VanillaTSTrainer(BaseTrainer):
             for i, cam, img, psnr, ssim_val in dp_eval_scores(
                     self._mesh, self._eval_step_dp,
                     self._settings_for(test_cams[0]), self.params,
-                    self.state, test_cams, background, eval_mask):
+                    self.state, test_cams, background, eval_mask,
+                    cameras_per_device=self._dp_b):
                 score(i, cam, img, psnr, ssim_val)
         else:
             for i, camera in enumerate(test_cams):

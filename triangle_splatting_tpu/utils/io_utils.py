@@ -191,9 +191,11 @@ class _AppendFile:
             self.position = res.next_position
         except self._oss.exceptions.PositionNotEqualToLength:
             raise RuntimeError(
-                f"concurrent writers detected on oss://"
+                f"append position mismatch on oss://"
                 f"{self._bucket.bucket_name}/{self._key} "
-                "(409 PositionNotEqualToLength)") from None
+                "(409 PositionNotEqualToLength): concurrent writers, or a "
+                "retried append whose first attempt already landed "
+                "server-side (lost response)") from None
         except (self._oss.exceptions.RequestError,
                 self._oss.exceptions.ServerError) as e:
             self.buffer.write(content)   # keep the bytes; retried on flush
@@ -217,9 +219,11 @@ class _AppendFile:
                 no_retry=(self._oss.exceptions.PositionNotEqualToLength,))
         except self._oss.exceptions.PositionNotEqualToLength:
             raise RuntimeError(
-                f"concurrent writers detected on oss://"
+                f"append position mismatch on oss://"
                 f"{self._bucket.bucket_name}/{self._key} "
-                "(409 PositionNotEqualToLength)") from None
+                "(409 PositionNotEqualToLength): concurrent writers, or a "
+                "retried append whose first attempt already landed "
+                "server-side (lost response)") from None
         except self._oss.exceptions.ObjectNotAppendable:
             # The object was created by a plain put (not appendable):
             # rewrite it as one appendable object with old + new content
