@@ -50,6 +50,16 @@ def main():
     ap.add_argument("--grad_threshold", type=float, default=1.5e-4,
                     help="--adc densify threshold (the densify log prints "
                     "the observed grad-stat quantiles to set this from)")
+    ap.add_argument("--gt", default="pallas", choices=["pallas", "oracle"],
+                    help="rasterizer that renders the dataset's GT images: "
+                    "'oracle' uses the dense jax.numpy reference path, "
+                    "de-circularizing the score (the production Pallas "
+                    "kernels are then only on the TRAINING side; a shared "
+                    "forward bug can no longer cancel out). Each choice "
+                    "gets its own dataset dir.")
+    ap.add_argument("--geo_samples", type=int, default=100_000,
+                    help="--mesh: surface samples per side for the "
+                    "chamfer/F-score geometry metrics")
     ap.add_argument("--ckpt_every", type=int, default=5000,
                     help="checkpoint cadence (0 disables)")
     ap.add_argument("--resume", action="store_true",
@@ -64,15 +74,16 @@ def main():
     from triangle_splatting_tpu.utils.testing import (
         build_synthetic_nerf_dataset)
 
-    data_dir = os.path.join(args.root, "data")
+    data_dir = os.path.join(
+        args.root, "data" if args.gt == "pallas" else f"data_{args.gt}")
     if not os.path.exists(os.path.join(data_dir, "transforms_train.json")):
         print(f"[full_run] building synthetic dataset ({args.views} views @ "
-              f"{args.res}^2, {args.n_tri} GT triangles) in {data_dir}",
-              flush=True)
+              f"{args.res}^2, {args.n_tri} GT triangles, gt={args.gt}) in "
+              f"{data_dir}", flush=True)
         t0 = time.time()
         build_synthetic_nerf_dataset(
             data_dir, res=args.res, n_tri=args.n_tri, n_train=args.views,
-            n_test=8, impl="pallas",
+            n_test=8, impl=args.gt,
             pcd_points=(20_000 if args.adc else args.init_points),
             pcd_noise=0.05)
         print(f"[full_run] dataset built in {time.time() - t0:.0f}s",
@@ -183,6 +194,10 @@ def main():
     wall = time.time() - t0
     psnr1 = float(trainer._evaluate(args.iters))
 
+    extra = {}
+    if args.mesh:
+        extra = mesh_endpoint_metrics(trainer, data_dir, args)
+
     print(json.dumps({
         "metric": ("full_run_mesh" if args.mesh
                    else "full_run_adc" if args.adc else "full_run_30k"),
@@ -193,7 +208,56 @@ def main():
         "capacity": int(trainer.state.alive.shape[0]),
         "wall_s": round(wall, 1),
         "ms_per_step_incl_compile": round(wall / args.iters * 1000.0, 2),
+        "gt_impl": args.gt,
+        **extra,
     }), flush=True)
+
+
+def mesh_endpoint_metrics(trainer, data_dir, args):
+    """Score the exported GLB GEOMETRICALLY (chamfer + F-score vs the GT
+    triangle soup the synthetic images were rendered from — the metric
+    family the reference's paper judges mesh quality by but its repo never
+    computes) and PHOTOMETRICALLY through the independent Moeller-Trumbore
+    ray tracer (ops/raytrace.py — no shared code with the splatting
+    rasterizers, so the score cannot inherit a family-wide forward bug)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from triangle_splatting_tpu.models.mesh_metrics import mesh_geometry_scores
+    from triangle_splatting_tpu.models.raw_triangle import RawTriangle
+    from triangle_splatting_tpu.ops.raytrace import raytrace_soup
+    from triangle_splatting_tpu.ops.sh import SH2RGB
+    from triangle_splatting_tpu.trainers import losses as L
+
+    glb_path = os.path.join(args.root, "out", "glb", f"{args.iters}.glb")
+    if not os.path.exists(glb_path):
+        trainer.saveGLB(glb_path)
+    raw = RawTriangle(glb_path=glb_path)
+    gt = np.load(os.path.join(data_dir, "gt_scene.npz"))
+    print(f"[full_run] geometry metrics: {len(raw)} exported vs "
+          f"{gt['vertex'].shape[0]} GT triangles", flush=True)
+    geo = mesh_geometry_scores(raw.vertex, gt["vertex"],
+                               n_samples=args.geo_samples, tau=0.05)
+
+    # Independent photometric score: ray-trace the exported opaque mesh
+    # against the dataset's held-out GT images.
+    cols = jnp.asarray(np.clip(SH2RGB(raw.shs[:, :3]), 0, 1))
+    verts = jnp.asarray(raw.vertex)
+    settings = trainer._settings_for(list(trainer.dataset.getTestDataset())[0])
+
+    @jax.jit
+    def trace_psnr(cam):
+        out = raytrace_soup(verts, cols, cam, settings,
+                            background=jnp.ones(3))
+        return L.psnr(jnp.clip(out["render"], 0, 1), cam.gt_image)
+
+    rt = [float(trace_psnr(cam.strip_static()))
+          for cam in trainer.dataset.getTestDataset()]
+    print(f"[full_run] raytrace PSNR per view: "
+          f"{[round(v, 2) for v in rt]}", flush=True)
+    return {"geometry": {k: round(v, 4) for k, v in geo.items()},
+            "raytrace_psnr": round(float(np.mean(rt)), 2)}
 
 
 if __name__ == "__main__":

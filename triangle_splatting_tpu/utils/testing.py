@@ -143,6 +143,13 @@ def build_synthetic_nerf_dataset(root, *, res: int = 48, n_tri: int = 120,
         with open(root / f"transforms_{split}.json", "w") as f:
             json.dump({"camera_angle_x": fovx, "frames": frames}, f)
 
+    # GT triangle soup — the synthetic setup's unique asset: geometry
+    # metrics (models/mesh_metrics.py) can score an exported mesh against
+    # the exact surface the images were rendered from, something no real
+    # capture provides.
+    np.savez(root / "gt_scene.npz", vertex=scene["vertex"],
+             opacity=scene["opacity"], rgb=scene["rgb"])
+
     # init point cloud: noisy triangle centroids (optionally re-sampled)
     centers = scene["vertex"].mean(1)
     colors = scene["rgb"]
