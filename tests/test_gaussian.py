@@ -71,6 +71,7 @@ class TestGSParity:
         np.testing.assert_array_equal(np.asarray(p["n_contrib"]),
                                       np.asarray(o["n_contrib"]))
 
+    @pytest.mark.slow
     def test_backward(self):
         scene = make_gs_scene(seed=3)
         target = jnp.asarray(
@@ -185,6 +186,7 @@ class TestDeadSlotGradients:
             assert np.isfinite(np.asarray(getattr(g, name))).all(), name
 
 
+@pytest.mark.slow
 class TestGSEarlyTermination:
     """Kill-entry semantics deep in the pair list: the entry that would push
     T below 1e-4 is NOT composited and ends the pixel (custom-gaussian

@@ -75,6 +75,7 @@ class TestMatrixCity:
 
 
 class TestMatrixCityTrainE2E:
+    @pytest.mark.slow
     def test_mesh_config_trains_on_city_layout(self, city, tmp_path):
         """Scaled-down MatrixCity_VanillaTS_mesh.yaml semantics end to end:
         MatrixCity split layout -> grid-sampled init (the 20M-point recipe's
@@ -132,6 +133,7 @@ class TestMatrixCityTrainE2E:
         assert np.isfinite(np.asarray(trainer.params.vertex)).all()
 
 
+@pytest.mark.slow
 class TestMillionPrimitiveCapacity:
     """Device-side MatrixCity scale arithmetic: 1M padded capacity on the
     virtual 8-device mesh (the HBM axis the model shards divide). Visible

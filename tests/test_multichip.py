@@ -14,6 +14,7 @@ class TestMultichip:
         assert out.shape[0] == 3
         assert np.isfinite(np.asarray(out)).all()
 
+    @pytest.mark.slow
     def test_dryrun_multichip_8(self):
         import __graft_entry__ as ge
         assert len(jax.devices()) >= 8
@@ -29,6 +30,7 @@ class TestMultichip:
         # and the no-arg form uses every device
         assert make_mesh().devices.size == len(jax.devices())
 
+    @pytest.mark.slow
     def test_trainer_dp_e2e(self, tmp_path):
         """VanillaTSTrainer with trainer.data_parallel=2: full loop on the
         virtual mesh — cameras sharded, stats accumulated, PSNR finite."""
@@ -54,6 +56,7 @@ class TestMultichip:
         psnr_seq = trainer._evaluate(13)
         assert abs(psnr - psnr_seq) < 1e-3, (psnr, psnr_seq)
 
+    @pytest.mark.slow
     def test_gs_trainer_dp_e2e(self, tmp_path):
         """VanillaGSTrainer with trainer.data_parallel=2 trains on the mesh."""
         from triangle_splatting_tpu.trainers.smoke import make_smoke_config
@@ -75,6 +78,7 @@ class TestMultichip:
         trainer._mesh = None
         assert abs(psnr_dp - trainer._evaluate(11)) < 1e-3
 
+    @pytest.mark.slow
     def test_scaffold_trainer_dp_e2e(self, tmp_path):
         """ScaffoldGSTrainer with trainer.data_parallel=2: anchors + MLPs
         replicated, cameras sharded, per-view anchor statistics psum-med."""
@@ -97,6 +101,7 @@ class TestMultichip:
         trainer._mesh = None
         assert abs(psnr_dp - trainer._evaluate(11)) < 1e-3
 
+    @pytest.mark.slow
     def test_dp_eval_batched_matches_sequential(self, tmp_path):
         """dp_layout batching in EVAL: data_parallel=16 on the 8-device mesh
         gives B=2 local views per device; the batched sharded eval must
@@ -120,6 +125,7 @@ class TestMultichip:
         psnr_seq = trainer._evaluate(5)
         assert abs(psnr_dp - psnr_seq) < 1e-3, (psnr_dp, psnr_seq)
 
+    @pytest.mark.slow
     def test_trainer_dp_step_matches_mean_gradient(self, tmp_path):
         """One _train_step_dp over 2 cameras == Adam on the mean of the two
         per-camera gradients, with per-VIEW statistics (grad norms summed,
@@ -188,6 +194,7 @@ class TestMultichip:
         np.testing.assert_allclose(np.asarray(ref_state.max_radii2d),
                                    np.asarray(s2.max_radii2d))
 
+    @pytest.mark.slow
     def test_dp_grads_match_summed_single_device(self):
         """psum-med DP gradients == sum of per-camera gradients."""
         from triangle_splatting_tpu.models import triangle as M
@@ -229,6 +236,7 @@ class TestMultichip:
         assert abs(float(loss_dp) - total) < 1e-4 * max(abs(total), 1)
         assert np.isfinite(np.asarray(g_c2d)).all()
 
+    @pytest.mark.slow
     def test_dp_step_cameras_per_device(self):
         """make_dp_train_step with cameras_per_device=2: a 2-device x
         2-views-per-device step matches the 4-view sum (loss and the psum-ed
@@ -278,6 +286,7 @@ class TestMultichip:
                                        rtol=2e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 class TestHybridDPMP:
     """2-D mesh: camera DP x depth-sharded MP (parallel/hybrid.py)."""
 
@@ -414,6 +423,7 @@ class TestStackDPCameras:
         assert batch.world_view.shape == (3, 4, 4)
 
 
+@pytest.mark.slow
 class TestGSScaffoldDPStepParity:
     def _dataset(self, tmp_path):
         from triangle_splatting_tpu.utils.testing import build_synthetic_nerf_dataset
@@ -530,6 +540,7 @@ class TestGSScaffoldDPStepParity:
                                    np.asarray(s2.anchor_denom))
 
 
+@pytest.mark.slow
 class TestDPLocalMinibatch:
     """data_parallel > mesh size: B views scan-accumulated per device.
 

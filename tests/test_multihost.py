@@ -21,6 +21,8 @@ import subprocess
 import sys
 from pathlib import Path
 
+import pytest
+
 REPO = Path(__file__).resolve().parent.parent
 
 WORKER = r"""
@@ -106,6 +108,7 @@ if multihost.is_main_process():
 """
 
 
+@pytest.mark.slow
 def test_two_process_dp_step(tmp_path):
     port = socket.socket()
     port.bind(("127.0.0.1", 0))

@@ -8,6 +8,7 @@ renders, kaolin_renderer.py:8-72).
 
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 
 import triangle_splatting_tpu as tst
@@ -19,6 +20,7 @@ CAM = make_camera(64, 64)
 
 
 class TestTriangleRendererFacade:
+    @pytest.mark.slow
     def test_matches_functional_api(self):
         scene = make_random_scene(40, seed=3)
         r = tst.TriangleRenderer(CAM, rasterizer_type="2D", rich_info=True,
@@ -33,6 +35,7 @@ class TestTriangleRendererFacade:
         np.testing.assert_allclose(out["depth"], ref["depth"], atol=1e-6)
         assert out["center2D"].shape == (40, 2)
 
+    @pytest.mark.slow
     def test_non_rich_drops_keys(self):
         scene = make_random_scene(10, seed=4)
         r = tst.TriangleRenderer(CAM, rasterizer_type="3D", rich_info=False)
@@ -40,6 +43,7 @@ class TestTriangleRendererFacade:
         assert "render" in out and "radii" in out and "center2D" in out
         assert "depth" not in out and "contrib_sum" not in out
 
+    @pytest.mark.slow
     def test_center2d_gradient_hook(self):
         # The reference reads dL/dcenter2D off the dummy tensor
         # (renderer/triangle_renderer.py:66-67); here it is a real argument.
@@ -72,6 +76,7 @@ class TestGaussianRendererFacade:
         sh = rng.uniform(0, 1, (n, 1, 3)).astype(np.float32)
         return xyz, scale, q, opac, sh
 
+    @pytest.mark.slow
     def test_render_and_radii(self):
         xyz, scale, q, opac, sh = self._scene()
         r = tst.GaussianRenderer(CAM, rich_info=True, sh_degree=0)

@@ -369,6 +369,7 @@ class TestSlabSplit:
     backward with the backward slab doubled, against the unmodified
     baseline."""
 
+    @pytest.mark.slow
     def test_unequal_slabs_match_baseline(self, monkeypatch):
         from triangle_splatting_tpu.ops import rasterize as rz
         from triangle_splatting_tpu.ops.pallas import blend

@@ -203,6 +203,7 @@ class TestGSTrainerE2E:
         with pytest.raises(ValueError, match="target_point_num"):
             trainer._model_update(5)
 
+    @pytest.mark.slow
     def test_gs_loss_decreases_and_io(self, synthetic_dataset, tmp_path):
         """VanillaGS loop: init from point cloud, densify + opacity prune
         cadences fire, PSNR improves, PLY reloads (3DGS schema)."""
