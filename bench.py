@@ -48,7 +48,8 @@ def main():
             def loss_fn(vertex, opacity, rgb):
                 out = rasterize(vertex, opacity, None, cam, settings,
                                 gamma=1.0, background=jnp.ones(3),
-                                bg_depth=10.0, colors=rgb)
+                                bg_depth=10.0, colors=rgb,
+                                need_stats=False)
                 return jnp.abs(out["render"] - target).mean(), \
                     (out["overflow"], out["num_pairs"])
             (_, aux), g = jax.value_and_grad(loss_fn, argnums=(0, 1, 2),
@@ -65,6 +66,9 @@ def main():
     # color), which never consumes depth/normal — the trainers skip that
     # kernel work (trainers/vanilla_ts.py::_settings_for), and the 3DGS
     # throughput anchor is likewise color-only. PERF.md records both modes.
+    # need_stats=False for the same reason: photo training without a
+    # statistic window never consumes the contribution statistics, and the
+    # trainers gate the kernel's stats stream off on that path.
     from triangle_splatting_tpu.trainers.adc_utils import adapt_pair_budget
     probe = make_step(RasterSettings(image_width=W, image_height=W,
                                      rich_info=False, pairs_per_triangle=6))

@@ -83,12 +83,42 @@ class TestForwardParity:
         np.testing.assert_allclose(np.asarray(p["contrib_max"]),
                                    np.asarray(o["contrib_max"]), atol=5e-4)
 
+    @pytest.mark.slow
     def test_overflow_flag(self):
         scene = make_random_scene(200, seed=3)
         p = render(scene, "pallas", max_pairs=128)
         assert bool(p["overflow"])
         p2 = render(scene, "pallas")
         assert not bool(p2["overflow"])
+
+    def test_need_stats_false_same_render_and_grads(self):
+        """need_stats=False (the photo/eval/bench gating) must change ONLY
+        the contribution statistics (zeros) — renders, aux outputs, and
+        gradients bit-identical to the stats path."""
+        scene = make_random_scene(150, seed=4)
+
+        def loss(vertex, opacity, rgb, need_stats):
+            out = rasterize(vertex, opacity, None, CAM, SETTINGS, gamma=1.0,
+                            background=jnp.ones(3), bg_depth=10.0,
+                            colors=rgb, interpret=True,
+                            need_stats=need_stats)
+            return (out["render"].sum() + out["depth"].sum()
+                    + out["final_T"].sum()), out
+
+        args = (jnp.asarray(scene["vertex"]), jnp.asarray(scene["opacity"]),
+                jnp.asarray(scene["rgb"]))
+        (l1, o1), g1 = jax.value_and_grad(loss, argnums=(0, 1, 2),
+                                          has_aux=True)(*args, True)
+        (l2, o2), g2 = jax.value_and_grad(loss, argnums=(0, 1, 2),
+                                          has_aux=True)(*args, False)
+        assert float(l1) == float(l2)
+        for a, b in zip(g1, g2):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for k in ("render", "depth", "normal", "final_T", "n_contrib"):
+            np.testing.assert_array_equal(np.asarray(o1[k]),
+                                          np.asarray(o2[k]))
+        assert not np.asarray(o2["contrib_sum"]).any()
+        assert np.asarray(o1["contrib_sum"]).any()
 
 
 class TestBackwardParity:
@@ -124,6 +154,7 @@ class TestBackwardParity:
         # gradients actually flow
         assert float(jnp.abs(g_p[0]).max()) > 0
 
+    @pytest.mark.slow
     def test_final_T_cotangent(self):
         """Losses may differentiate final_T directly (the depth-sharded
         composite weights farther shards by it); the custom VJP must route
@@ -339,6 +370,7 @@ class TestRaggedImageSizes:
         np.testing.assert_allclose(a["depth"], b["depth"], rtol=1e-3, atol=1e-3)
         np.testing.assert_array_equal(a["n_contrib"], b["n_contrib"])
 
+    @pytest.mark.slow
     def test_ragged_gradients(self):
         scene = make_random_scene(40, seed=14)
         cam = make_camera(90, 70)
@@ -366,6 +398,70 @@ class TestRaggedImageSizes:
             np.testing.assert_allclose(a, b, rtol=5e-2, atol=5e-3 * scale)
 
 
+class TestPackPerm:
+    """Forward-hoisted owner permutation (TS_PACK_PERM structure): the
+    backward applies Binning.pack_perm as a row gather instead of the
+    cotangent sort — gradients must match the sort path exactly, including
+    under pair-budget overflow (the clipped-suffix case)."""
+
+    @pytest.mark.parametrize("overflow", [False, True])
+    def test_grads_match_sort_path(self, monkeypatch, overflow):
+        import triangle_splatting_tpu.ops.rasterize as R
+        scene = make_random_scene(150, seed=6, size_range=(0.15, 0.35))
+        kw = {"max_pairs": 128} if overflow else {}
+
+        def grads(perm_mode):
+            monkeypatch.setattr(R, "PACK_PERM", perm_mode)
+
+            def loss(vertex, opacity, rgb):
+                out = rasterize(
+                    jnp.asarray(vertex), jnp.asarray(opacity), None, CAM,
+                    SETTINGS, gamma=1.0, background=jnp.ones(3),
+                    bg_depth=10.0, colors=jnp.asarray(rgb), interpret=True,
+                    **kw)
+                return (out["render"] ** 2).sum() + out["final_T"].sum(), \
+                    out["overflow"]
+
+            (l, ov), g = jax.value_and_grad(loss, argnums=(0, 1, 2),
+                                            has_aux=True)(
+                scene["vertex"], scene["opacity"], scene["rgb"])
+            return l, ov, g
+
+        l0, ov0, g0 = grads(False)
+        l1, ov1, g1 = grads(True)
+        assert bool(ov0) == overflow and bool(ov1) == overflow
+        assert float(l0) == float(l1)
+        for a, b in zip(g0, g1):
+            # Not bit-exact: the two paths arrange a triangle's pairs in
+            # different WITHIN-segment orders (raw vs sort order), so the
+            # segment-sum rounding differs at the ulp level (~1e-7 rel).
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-5)
+        assert any(np.asarray(a).any() for a in g0)
+
+    def test_pack_perm_is_owner_order(self):
+        """pack_perm[j] must be the aligned slot of raw pair j: gathering
+        pair_tri through it reproduces the triangle-major raw stream."""
+        from triangle_splatting_tpu.ops.binning import bin_triangles
+        from triangle_splatting_tpu.ops.projection import preprocess_2d
+        scene = make_random_scene(120, seed=7)
+        prep = preprocess_2d(jnp.asarray(scene["vertex"]),
+                             jnp.zeros((120, 2)), jnp.asarray(scene["rgb"]),
+                             CAM.world_view, CAM.full_proj, CAM.tan_fovx,
+                             CAM.tan_fovy, SETTINGS)
+        b = bin_triangles(prep, SETTINGS, 4096, interpret=True,
+                          compute_pack_perm=True)
+        tri_raw = np.asarray(b.pair_tri)[np.asarray(b.pack_perm)]
+        n = int(b.num_pairs)
+        offs = np.asarray(b.tri_offsets)
+        expect = np.full((n,), -1, np.int64)
+        for t in range(120):
+            expect[offs[t]:min(offs[t + 1], n)] = t
+        np.testing.assert_array_equal(tri_raw[:n], expect)
+        assert (tri_raw[n:] == -1).all()       # tail = empty slots
+
+
+@pytest.mark.slow
 class TestLiveRows:
     """LIVE_GRAD_ROWS (pallas/blend.py) vs full-16 sort, end to end.
 

@@ -6,7 +6,8 @@ The CPU suite proves the same equivalence in interpret mode at small P
 lowering of segment_reduce_pairs at realistic shapes — the class of bug
 the CPU suite cannot see (CLAUDE.md).
 
-Run: python tools/pack_bwd_parity.py
+Run: python tools/pack_bwd_parity.py  (TS_PACK_PERM=1 exercises the
+forward-hoisted owner-permutation backward instead of the sort path)
 """
 
 import os
@@ -42,7 +43,9 @@ def main():
         prep = preprocess_2d(vertex, jnp.zeros((P, 2)), rgb, cam.world_view,
                              cam.full_proj, cam.tan_fovx, cam.tan_fovy,
                              settings)
-        binning = bin_triangles(prep, settings, max_pairs=max_pairs)
+        from triangle_splatting_tpu.ops import rasterize as R
+        binning = bin_triangles(prep, settings, max_pairs=max_pairs,
+                                compute_pack_perm=R.PACK_PERM)
         fmat = triangle_field_matrix(prep, opac)
         _, vjp = jax.vjp(lambda f: pack_pair_fields(f, binning), fmat)
         got = vjp(ct)[0]

@@ -140,7 +140,8 @@ def forward(params: GaussianParams, state: GaussianState, camera: Camera,
             background, cfg: GSModelConfig, settings: RasterSettings, *,
             is_training: bool = True, mean2d_offset=None,
             impl: str = "pallas", interpret: bool = False,
-            max_pairs: Optional[int] = None) -> dict:
+            max_pairs: Optional[int] = None,
+            need_stats: bool = True) -> dict:
     """Render the gaussian scene (VanillaGS_model.py:515-573)."""
     dist = safe_norm(camera.camera_center[None, :] - params.xyz)
     bg_depth = jnp.max(jnp.where(state.alive, dist, 0.0))
@@ -150,7 +151,8 @@ def forward(params: GaussianParams, state: GaussianState, camera: Camera,
         gamma=state.gamma, background=background, bg_depth=bg_depth,
         active_sh_degree=state.active_sh_degree, alive_mask=state.alive,
         mean2d_offset=mean2d_offset, scale_modifier=cfg.scale_modifier,
-        impl=impl, interpret=interpret, max_pairs=max_pairs)
+        impl=impl, interpret=interpret, max_pairs=max_pairs,
+        need_stats=need_stats)
     out.update(scaling=get_scaling(params), opacity=get_opacity(params),
                xyz=params.xyz, visible_mask=(out["radii"] > 0) & state.alive)
     return out

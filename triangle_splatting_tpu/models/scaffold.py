@@ -194,8 +194,16 @@ def forward(params: ScaffoldParams, state: ScaffoldState, camera: Camera,
             background, cfg: ScaffoldConfig, settings: RasterSettings, *,
             is_training: bool = True, mean2d_offset=None,
             scene_bbox=None, impl: str = "pallas", interpret: bool = False,
-            max_pairs: Optional[int] = None) -> dict:
-    """Render the scaffold scene (ScaffoldGS_model.py:430-463)."""
+            max_pairs: Optional[int] = None,
+            need_stats: bool = False) -> dict:
+    """Render the scaffold scene (ScaffoldGS_model.py:430-463).
+
+    ``need_stats`` defaults to False: Scaffold's anchor statistics
+    (update_statistics) consume only visibility masks + gradient norms,
+    never the contribution products, so the rasterizer's contribution
+    statistics path (ops/rasterize.py need_stats) would be dead work every
+    step. Pass True only to read ``contrib_sum``/``contrib_max`` directly.
+    """
     C, k = params.capacity, cfg.n_offsets
     anchor_visible = prefilter_voxel(params, state, camera, settings)
     dec = generate_gaussians(params, state, cfg)
@@ -212,7 +220,8 @@ def forward(params: ScaffoldParams, state: ScaffoldState, camera: Camera,
         dec["rot"].reshape(N, 4), dec["opacity"].reshape(N), None, camera,
         settings, colors=dec["color"].reshape(N, 3), background=background,
         alive_mask=sel.reshape(N), mean2d_offset=mean2d_offset,
-        impl=impl, interpret=interpret, max_pairs=max_pairs)
+        impl=impl, interpret=interpret, max_pairs=max_pairs,
+        need_stats=need_stats)
     out.update(
         gaussian_opacity=dec["opacity"],            # (C, k), pre-selection
         scaling=dec["scale"],                       # (C, k, 3)

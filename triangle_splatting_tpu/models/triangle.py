@@ -166,7 +166,8 @@ def forward(params: TriangleParams, state: TriangleState, camera: Camera,
             center2d_offset: Optional[jnp.ndarray] = None,
             apply_color_affine: Optional[bool] = None,
             impl: str = "pallas", interpret: bool = False,
-            max_pairs: Optional[int] = None) -> dict:
+            max_pairs: Optional[int] = None,
+            need_stats: bool = True) -> dict:
     """Render the scene through one camera (VanillaTS_model.py:583-685).
 
     ``center2d_offset`` is the densification-statistics hook: pass zeros
@@ -203,7 +204,8 @@ def forward(params: TriangleParams, state: TriangleState, camera: Camera,
                     bg_depth=bg_depth,
                     active_sh_degree=state.active_sh_degree,
                     center2d_offset=center2d_offset, alive_mask=alive,
-                    impl=impl, interpret=interpret, max_pairs=max_pairs)
+                    impl=impl, interpret=interpret, max_pairs=max_pairs,
+                    need_stats=need_stats)
 
     if up > 1:
         H, W = settings.image_height // up, settings.image_width // up

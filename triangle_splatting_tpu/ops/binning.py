@@ -66,6 +66,20 @@ class Binning:
     tile_counts: jax.Array    # (num_tiles,) int32 — real pairs per tile
     num_pairs: jax.Array      # () int32 — pairs actually binned (<= max_pairs)
     overflow: jax.Array       # () bool — pair budget exceeded (pairs dropped)
+    pack_perm: jax.Array | None = None
+    #                           (ma,) int32 or None — OWNER-ORDER gather map
+    #                           for the pack backward: pack_perm[j] is the
+    #                           aligned slot holding raw pair j (triangle-
+    #                           major: exactly the [tri_offsets[t],
+    #                           tri_offsets[t+1]) layout the segment
+    #                           reduction needs), entries >= num_pairs point
+    #                           at empty slots. Computed in the FORWARD
+    #                           phase (the permutation is a pure function of
+    #                           binning, independent of cotangents) so the
+    #                           backward applies one row GATHER instead of
+    #                           re-deriving the order with a (1 + live_rows)-
+    #                           payload sort of the cotangents. Requested
+    #                           via ``compute_pack_perm``.
 
 
 def cummax(x: jnp.ndarray) -> jnp.ndarray:
@@ -107,7 +121,8 @@ def quantize_depth(depth: jnp.ndarray, valid: jnp.ndarray, bits: int):
 
 def bin_triangles(prep: Preprocessed, settings: RasterSettings,
                   max_pairs: int, align: int = 128,
-                  interpret: bool = False) -> Binning:
+                  interpret: bool = False,
+                  compute_pack_perm: bool = False) -> Binning:
     """Expand triangles into depth-sorted per-tile pair lists."""
     P = prep.depth.shape[0]
     grid_w = settings.grid_w
@@ -189,8 +204,17 @@ def bin_triangles(prep: Preprocessed, settings: RasterSettings,
     # the select, exactly like the old tile_x/tile_y form.
     key = c2(rowT[2]) + (within << dbits) + q * c2(rowT[3])
     key = jnp.where(c2(valid), key, num_tiles << dbits).reshape(-1)
-    sorted_key, sorted_tri = jax.lax.sort((key, tri_safe), num_keys=1,
-                                          is_stable=True)
+    if compute_pack_perm:
+        # Carry the RAW pair index through the sort (payloads beyond the
+        # first are ~0.13 ms each @480k — PERF.md cost model) so the
+        # owner-order permutation can be recovered below: the raw stream IS
+        # triangle-major (triangle t generated pairs [offsets[t],
+        # offsets[t] + counts[t]) before sorting).
+        sorted_key, sorted_tri, sorted_raw = jax.lax.sort(
+            (key, tri_safe, pair_idx), num_keys=1, is_stable=True)
+    else:
+        sorted_key, sorted_tri = jax.lax.sort((key, tri_safe), num_keys=1,
+                                              is_stable=True)
 
     # Per-tile ranges via binary search on the sorted keys.
     boundaries = jnp.arange(num_tiles + 1, dtype=jnp.int32) << dbits
@@ -209,10 +233,26 @@ def bin_triangles(prep: Preprocessed, settings: RasterSettings,
     pair_tri = relayout_pairs(sorted_tri, raw_starts, astarts, tile_counts,
                               ma, interpret=interpret)
 
+    pack_perm = None
+    if compute_pack_perm:
+        # Aligned slot -> raw pair index (a second relayout stream, ~0.06 ms
+        # measured for the kernel), then invert with ONE 2-operand sort:
+        # position j of the sorted pair gets the aligned slot of raw pair j.
+        # Sentinel-keyed empty slots sort to the tail (>= num_pairs), where
+        # the segment bounds never reach and the reduction's nvalid select
+        # zeroes the gathered garbage.
+        pair_raw = relayout_pairs(sorted_raw, raw_starts, astarts,
+                                  tile_counts, ma, interpret=interpret)
+        inv_key = jnp.where(pair_raw >= 0, pair_raw, jnp.int32(2 ** 30))
+        _, pack_perm = jax.lax.sort(
+            (inv_key, jnp.arange(ma, dtype=jnp.int32)), num_keys=1,
+            is_stable=True)
+
     # reuse `total` so the int32-wrap overflow reasoning above stays the
     # single place this sum is defined
     tri_offsets = jnp.concatenate([offsets, jnp.reshape(total, (1,))])
     return Binning(pair_tri=pair_tri, pair_valid=pair_tri >= 0,
                    tri_offsets=tri_offsets,
                    tile_starts=astarts, tile_counts=tile_counts,
-                   num_pairs=num_pairs.astype(jnp.int32), overflow=overflow)
+                   num_pairs=num_pairs.astype(jnp.int32), overflow=overflow,
+                   pack_perm=pack_perm)

@@ -309,7 +309,7 @@ def _fwd_kernel(
     in_sem,               # DMA (2,)
     out_sem,              # DMA (2,)
     *, tile_h: int, tile_w: int, grid_w: int, width: int, height: int,
-    rich: bool, variant: str,
+    rich: bool, variant: str, stats: bool,
 ):
     th, tw = tile_h, tile_w
     npix = th * tw
@@ -438,13 +438,18 @@ def _fwd_kernel(
         new_T = jnp.minimum(T_carry, slab_min)
         accum[7:8, :] = new_T
 
-        @pl.when(s >= 2)
-        def _():
-            out_dma_wait(slot)
-        c_sum = _row_sum(contrib)
-        c_max = jnp.max(contrib, axis=1, keepdims=True)
-        stage[slot, :, :] = jnp.concatenate([c_sum, c_max], axis=1).T  # (2, S)
-        out_dma(slot, s).start()
+        # Per-pair contribution statistics (consumed only by the ADC
+        # statistic window) — ``stats=False`` (photo/eval/bench paths)
+        # drops the two (S, NPIX) reduction passes, the staging writes, and
+        # the whole output DMA stream.
+        if stats:
+            @pl.when(s >= 2)
+            def _():
+                out_dma_wait(slot)
+            c_sum = _row_sum(contrib)
+            c_max = jnp.max(contrib, axis=1, keepdims=True)
+            stage[slot, :, :] = jnp.concatenate([c_sum, c_max], axis=1).T  # (2, S)
+            out_dma(slot, s).start()
 
         if variant == "GS":
             # Early-exit signal: done pixels contribute 0; a live pixel's
@@ -467,24 +472,25 @@ def _fwd_kernel(
     def _():
         in_dma(s_final % 2, s_final).wait()
 
-    # Drain pending contrib writes (up to two in flight).
-    @pl.when(s_final >= 2)
-    def _():
-        out_dma_wait(s_final % 2)
+    if stats:
+        # Drain pending contrib writes (up to two in flight).
+        @pl.when(s_final >= 2)
+        def _():
+            out_dma_wait(s_final % 2)
 
-    @pl.when(s_final >= 1)
-    def _():
-        out_dma_wait((s_final + 1) % 2)
+        @pl.when(s_final >= 1)
+        def _():
+            out_dma_wait((s_final + 1) % 2)
 
-    # Slabs skipped by early exit still need their pair-contrib slots
-    # zeroed (the buffer is uninitialized output memory).
-    def zero_body(s):
-        stage[0, :, :] = jnp.zeros((2, FWD_SLAB), jnp.float32)
-        out_dma(0, s).start()
-        out_dma_wait(0)
-        return s + 1
+        # Slabs skipped by early exit still need their pair-contrib slots
+        # zeroed (the buffer is uninitialized output memory).
+        def zero_body(s):
+            stage[0, :, :] = jnp.zeros((2, FWD_SLAB), jnp.float32)
+            out_dma(0, s).start()
+            out_dma_wait(0)
+            return s + 1
 
-    jax.lax.while_loop(lambda s: s < nslabs, zero_body, s_final)
+        jax.lax.while_loop(lambda s: s < nslabs, zero_body, s_final)
 
     # Outputs are tile-major flat blocks (1, 8, 128) of (num_tiles, 8, 128)
     # arrays — the (8, 128) view of the flat 1024-pixel vector. This keeps
@@ -509,7 +515,7 @@ def blend_forward(pairs: jax.Array, tile_starts: jax.Array,
                   tile_counts: jax.Array, params: jax.Array,
                   *, image_width: int, image_height: int, tile_h: int,
                   tile_w: int, rich: bool = True, variant: str = "2D",
-                  interpret: bool = False):
+                  stats: bool = True, interpret: bool = False):
     """Run the forward blend kernel.
 
     Args:
@@ -518,9 +524,13 @@ def blend_forward(pairs: jax.Array, tile_starts: jax.Array,
         tile_starts: (num_tiles + 1,) int32 aligned starts.
         tile_counts: (num_tiles,) int32 real pair counts.
         params: (8,) f32 [gamma, bg_r, bg_g, bg_b, bg_depth, 0, 0, 0].
+        stats: compute per-pair contribution statistics. False (photo
+            training without a statistic window, eval, bench) skips their
+            in-kernel reductions + DMA stream; pair_contrib is then a
+            NEVER-WRITTEN (2, ALIGN) dummy the caller must not read.
     Returns:
         color (3,H,W), depth (H,W), normal (3,H,W), final_T (H,W),
-        n_contrib (H,W) i32, pair_contrib (2, MP).
+        n_contrib (H,W) i32, pair_contrib (2, MP) (dummy if not stats).
     """
     grid_w = pl.cdiv(image_width, tile_w)
     grid_h = pl.cdiv(image_height, tile_h)
@@ -535,7 +545,7 @@ def blend_forward(pairs: jax.Array, tile_starts: jax.Array,
     kernel = functools.partial(_fwd_kernel, tile_h=tile_h, tile_w=tile_w,
                                grid_w=grid_w, width=image_width,
                                height=image_height, rich=rich,
-                               variant=variant)
+                               variant=variant, stats=stats)
     tmap = lambda i, j, *_: (i * grid_w + j, 0, 0)
     tmap3 = lambda i, j, *_: (0, i * grid_w + j, 0, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -566,7 +576,7 @@ def blend_forward(pairs: jax.Array, tile_starts: jax.Array,
         jax.ShapeDtypeStruct((3, n_tiles, rows, 128), jnp.float32),
         jax.ShapeDtypeStruct((n_tiles, rows, 128), jnp.float32),
         jax.ShapeDtypeStruct((n_tiles, rows, 128), jnp.int32),
-        jax.ShapeDtypeStruct((2, mp_pad), jnp.float32),
+        jax.ShapeDtypeStruct((2, mp_pad if stats else ALIGN), jnp.float32),
     ]
     color, depth, normal, final_T, n_contrib, pair_contrib = pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=out_shapes, interpret=interpret,

@@ -20,11 +20,23 @@ oracle — same semantics, O(P*pixels), used for small scenes and testing.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Pack-VJP cotangent ordering strategy. The backward must group the per-pair
+# gradient columns by owning triangle before the streaming segment
+# reduction; the ORDER is a pure function of binning, so it can either be
+# re-derived in the backward with a (1 + live_rows)-payload sort of the
+# cotangents (default), or computed once in the forward/binning phase
+# (Binning.pack_perm) and APPLIED in the backward as one row gather.
+# TS_PACK_PERM=1 selects the second structure; both are parity-tested
+# (tests/test_rasterize.py::TestPackPerm) — flip the default only with an
+# on-chip A/B (PERF.md records the measurement).
+PACK_PERM = os.environ.get("TS_PACK_PERM", "0") == "1"
 
 from . import sh as sh_mod
 from .binning import Binning, bin_triangles
@@ -160,21 +172,31 @@ def _pack_bwd(interpret, live_rows, binning, d):
     from .pallas.streams import segment_reduce_pairs
     num_pairs = binning.num_pairs
     p = binning.tri_offsets.shape[0] - 1
-    # Sort cotangent columns by owning triangle: valid slots land at
-    # positions [tri_offsets[t], tri_offsets[t+1]) (counts fix positions;
-    # within-triangle order is irrelevant to a sum). Empty slots get
-    # sentinel ``p`` and sort to the tail at positions >= num_pairs, where
-    # the segment bounds (clipped to num_pairs) never reach them and the
-    # kernel's nvalid select zeroes their (possibly NaN) columns.
-    # Only the ``live_rows`` leading rows ride the sort as payloads — the
-    # rest are structural zeros of the blend backward (see docstring).
-    key = jnp.where(binning.pair_tri >= 0, binning.pair_tri, p)
-    srt = jax.lax.sort((key,) + tuple(d[:live_rows]), num_keys=1,
-                       is_stable=False)
+    zero = jnp.zeros_like(d[0])
+    if binning.pack_perm is not None:
+        # The owner-order permutation was computed in the forward phase
+        # (Binning.pack_perm) — apply it as ONE (MA, live) row gather.
+        # Rows past num_pairs gather empty-slot garbage/NaN; the
+        # reduction's nvalid select zeroes them.
+        g = d[:live_rows].T[binning.pack_perm]               # (MA, live)
+        cols = [g[:, i] for i in range(live_rows)]
+    else:
+        # Sort cotangent columns by owning triangle: valid slots land at
+        # positions [tri_offsets[t], tri_offsets[t+1]) (counts fix
+        # positions; within-triangle order is irrelevant to a sum). Empty
+        # slots get sentinel ``p`` and sort to the tail at positions >=
+        # num_pairs, where the segment bounds (clipped to num_pairs) never
+        # reach them and the kernel's nvalid select zeroes their (possibly
+        # NaN) columns. Only the ``live_rows`` leading rows ride the sort
+        # as payloads — the rest are structural zeros of the blend backward
+        # (see docstring).
+        key = jnp.where(binning.pair_tri >= 0, binning.pair_tri, p)
+        srt = jax.lax.sort((key,) + tuple(d[:live_rows]), num_keys=1,
+                           is_stable=False)
+        cols = list(srt[1:])
     starts = jnp.minimum(binning.tri_offsets[:-1], num_pairs)
     ends = jnp.minimum(binning.tri_offsets[1:], num_pairs)
-    zero = jnp.zeros_like(d[0])
-    cols = list(srt[1:]) + [zero] * (16 - live_rows)
+    cols = cols + [zero] * (16 - live_rows)
     d16 = segment_reduce_pairs(cols, starts, ends,
                                nvalid=num_pairs,
                                interpret=interpret)          # (16, P)
@@ -192,11 +214,11 @@ pack_pair_fields.defvjp(_pack_fwd, _pack_bwd)
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _blend(fields, tile_starts, tile_counts, params, static_cfg):
-    width, height, tile_h, tile_w, rich, variant, interpret = static_cfg
+    width, height, tile_h, tile_w, rich, variant, interpret, stats = static_cfg
     return blend_forward(fields, tile_starts, tile_counts, params,
                          image_width=width, image_height=height,
                          tile_h=tile_h, tile_w=tile_w, rich=rich,
-                         variant=variant, interpret=interpret)
+                         variant=variant, stats=stats, interpret=interpret)
 
 
 def _blend_fwd(fields, tile_starts, tile_counts, params, static_cfg):
@@ -206,7 +228,7 @@ def _blend_fwd(fields, tile_starts, tile_counts, params, static_cfg):
 
 
 def _blend_bwd(static_cfg, res, cts):
-    width, height, tile_h, tile_w, rich, variant, interpret = static_cfg
+    width, height, tile_h, tile_w, rich, variant, interpret, _stats = static_cfg
     fields, tile_starts, tile_counts, params, final_T, n_contrib = res
     g_color, g_depth, g_normal, g_T, _g_nc, _g_pc = cts
     pair_grads = blend_backward(
@@ -258,7 +280,7 @@ def rasterize(vertex: jnp.ndarray, opacity: jnp.ndarray,
               colors: Optional[jnp.ndarray] = None,
               alive_mask: Optional[jnp.ndarray] = None,
               impl: str = "pallas", max_pairs: Optional[int] = None,
-              interpret: bool = False) -> dict:
+              need_stats: bool = True, interpret: bool = False) -> dict:
     """Render triangles through a camera; differentiable w.r.t.
     vertex / opacity / shs (or colors) / center2d_offset.
 
@@ -266,6 +288,13 @@ def rasterize(vertex: jnp.ndarray, opacity: jnp.ndarray,
     plus the rasterizer internals. Returns a dict with:
     render (3,H,W), depth (H,W), normal (3,H,W), radii (P,), visible_mask,
     contrib_sum (P,), contrib_max (P,), final_T, n_contrib, overflow.
+
+    ``need_stats=False`` (photo training without a statistic window, eval,
+    bench — the paths whose jit graphs DCE the statistics consumers anyway)
+    skips the contribution-statistics work the reference's forward kernel
+    performs unconditionally via atomics (2D/src/forward.cu:320-330): the
+    in-kernel per-pair reductions + DMA stream and the owner-sort/segment
+    reduction; ``contrib_sum``/``contrib_max`` are then zeros.
     """
     P = vertex.shape[0]
     if background is None:
@@ -314,7 +343,7 @@ def rasterize(vertex: jnp.ndarray, opacity: jnp.ndarray,
 
     prep_ng = jax.tree_util.tree_map(jax.lax.stop_gradient, prep)
     binning = bin_triangles(prep_ng, settings, max_pairs, align=ALIGN,
-                            interpret=interpret)
+                            interpret=interpret, compute_pack_perm=PACK_PERM)
 
     if variant == "2D":
         fmat = triangle_field_matrix(prep, opac1)
@@ -334,14 +363,17 @@ def rasterize(vertex: jnp.ndarray, opacity: jnp.ndarray,
 
     static_cfg = (settings.image_width, settings.image_height,
                   settings.tile_h, settings.tile_w, settings.rich_info,
-                  variant, interpret)
+                  variant, interpret, need_stats)
     color, depth, normal, final_T, n_contrib, pair_contrib = _blend(
         fields, binning.tile_starts, binning.tile_counts, params, static_cfg)
 
     # Per-triangle contribution statistics (training-statistics consumers are
     # no-grad: src/forward.cu:320-330 computes these with atomics).
-    contrib_sum, contrib_max = _contrib_stats(pair_contrib, binning, P,
-                                              interpret)
+    if need_stats:
+        contrib_sum, contrib_max = _contrib_stats(pair_contrib, binning, P,
+                                                  interpret)
+    else:
+        contrib_sum = contrib_max = jnp.zeros((P,), jnp.float32)
 
     return dict(render=color, depth=depth, normal=normal,
                 radii=prep.radii, visible_mask=prep.radii > 0,
@@ -360,6 +392,7 @@ def rasterize_gaussian(xyz: jnp.ndarray, scale: jnp.ndarray,
                        mean2d_offset: Optional[jnp.ndarray] = None,
                        scale_modifier=1.0, impl: str = "pallas",
                        max_pairs: Optional[int] = None,
+                       need_stats: bool = True,
                        interpret: bool = False) -> dict:
     """Render 3D gaussians (custom-gaussian-rasterization equivalent).
 
@@ -406,7 +439,7 @@ def rasterize_gaussian(xyz: jnp.ndarray, scale: jnp.ndarray,
 
     prep_ng = jax.tree_util.tree_map(jax.lax.stop_gradient, prep)
     binning = bin_triangles(prep_ng, settings, max_pairs, align=ALIGN,
-                            interpret=interpret)
+                            interpret=interpret, compute_pack_perm=PACK_PERM)
 
     fields = pack_pair_fields(gaussian_field_matrix(prep, opac1), binning,
                               interpret,
@@ -415,12 +448,15 @@ def rasterize_gaussian(xyz: jnp.ndarray, scale: jnp.ndarray,
                               jnp.zeros(3, jnp.float32)])
     static_cfg = (settings.image_width, settings.image_height,
                   settings.tile_h, settings.tile_w, settings.rich_info,
-                  "GS", interpret)
+                  "GS", interpret, need_stats)
     color, depth, normal, final_T, n_contrib, pair_contrib = _blend(
         fields, binning.tile_starts, binning.tile_counts, params, static_cfg)
 
-    contrib_sum, contrib_max = _contrib_stats(pair_contrib, binning, P,
-                                              interpret)
+    if need_stats:
+        contrib_sum, contrib_max = _contrib_stats(pair_contrib, binning, P,
+                                                  interpret)
+    else:
+        contrib_sum = contrib_max = jnp.zeros((P,), jnp.float32)
 
     return dict(render=color, depth=depth, normal=normal,
                 radii=prep.radii, visible_mask=prep.radii > 0,

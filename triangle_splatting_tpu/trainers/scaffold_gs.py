@@ -93,6 +93,10 @@ class ScaffoldGSTrainer(BaseTrainer):
                         **vars(sub))
         u = self.config.model.anchor_update
         self._u = u
+        # Set at construction (not in train()) so direct _train_step calls
+        # (tests) see it. Scaffold's anchor statistics never consume the
+        # rasterizer contribution products (S.forward need_stats=False).
+        self._track_stats = u is not None
         if u is not None:
             if u.start_iter is None or u.end_iter is None:
                 raise ValueError(
@@ -396,7 +400,6 @@ class ScaffoldGSTrainer(BaseTrainer):
     def train(self):
         cfgt = self.config.trainer
         self._init_model()
-        self._track_stats = self._u is not None
         if self._dp_n > 1:
             from ..parallel.mesh import dp_layout, make_mesh
             n_dev, self._dp_b = dp_layout(self._dp_n)

@@ -77,6 +77,9 @@ class VanillaGSTrainer(BaseTrainer):
                     self.lr_schedulers[name] = exponential_scheduler(**vars(sub))
         mu = self.config.model.model_update
         self._mu = mu
+        # Set at construction (not in _train) so direct _train_step calls
+        # (tests) and the need_stats kernel gating see it.
+        self._track_stats = (mu is not None and mu.statistic is not None)
         if mu is not None and mu.densification is not None:
             d = mu.densification
             self.grad_threshold_scheduler = exponential_scheduler(
@@ -128,7 +131,8 @@ class VanillaGSTrainer(BaseTrainer):
         single-device and data-parallel steps."""
         pkg = G.forward(p, state, camera, background, self.model_cfg,
                         settings, mean2d_offset=m2d, impl=self.impl,
-                        interpret=self.interpret)
+                        interpret=self.interpret,
+                        need_stats=self._track_stats)
         img = pkg["render"]
         gt = camera.gt_image
         if camera.alpha_mask is not None:
@@ -279,7 +283,7 @@ class VanillaGSTrainer(BaseTrainer):
     def _eval_step(self, settings, params, state, camera, background):
         pkg = G.forward(params, state, camera, background, self.model_cfg,
                         settings, is_training=False, impl=self.impl,
-                        interpret=self.interpret)
+                        interpret=self.interpret, need_stats=False)
         img = pkg["render"]
         return img, L.psnr(img, camera.gt_image), L.ssim(jnp.clip(img, 0, 1),
                                                          camera.gt_image)
@@ -424,7 +428,6 @@ class VanillaGSTrainer(BaseTrainer):
     def train(self):
         cfgt = self.config.trainer
         self._init_model()
-        self._track_stats = (self._mu is not None and self._mu.statistic is not None)
         if self._dp_n > 1:
             from ..parallel.mesh import dp_layout, make_mesh
             n_dev, self._dp_b = dp_layout(self._dp_n)

@@ -125,6 +125,9 @@ class VanillaTSTrainer(BaseTrainer):
 
         mu = self.config.model.model_update
         self._mu = mu
+        # Set at construction (not in _train) so direct _train_step calls
+        # (tests) and the need_stats kernel gating see it.
+        self._track_stats = (mu is not None and mu.statistic is not None)
         if mu is not None:
             d = mu.densification
             if d is not None:
@@ -192,9 +195,13 @@ class VanillaTSTrainer(BaseTrainer):
         """Per-camera training loss (VanillaTS_trainer.py:43-117). Shared by
         the single-device step and the data-parallel shard_map step."""
         cfg = self.model_cfg
+        # need_stats tracks the statistic window: without one, the kernel's
+        # contribution-statistics stream is dead work (its consumers are
+        # dropped from aux below and DCE'd anyway).
         pkg = M.forward(p, state, camera, background, cfg, settings,
                         is_training=True, center2d_offset=c2d,
-                        impl=self.impl, interpret=self.interpret)
+                        impl=self.impl, interpret=self.interpret,
+                        need_stats=self._track_stats)
         img = pkg["render"]
         gt = camera.gt_image
         if camera.alpha_mask is not None:
@@ -432,7 +439,8 @@ class VanillaTSTrainer(BaseTrainer):
     def _eval_step(self, settings, params, state, camera, background, eval_mask: bool):
         pkg = M.forward(params, state, camera, background, self.model_cfg,
                         settings, is_training=False, apply_color_affine=False,
-                        impl=self.impl, interpret=self.interpret)
+                        impl=self.impl, interpret=self.interpret,
+                        need_stats=False)
         img = pkg["render"]
         gt = camera.gt_image
         mask = camera.alpha_mask if eval_mask else None
@@ -703,7 +711,6 @@ class VanillaTSTrainer(BaseTrainer):
     def _train(self):
         cfgt = self.config.trainer
         first_iter = self._init_model()
-        self._track_stats = (self._mu is not None and self._mu.statistic is not None)
 
         if self._dp_n > 1:
             from ..parallel.mesh import dp_layout, make_mesh
