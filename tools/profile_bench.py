@@ -27,8 +27,6 @@ def run_workload(trace_dir: str, frames: int) -> float:
     from triangle_splatting_tpu.utils.testing import make_camera, make_random_scene
 
     P, W = 100_000, 800
-    settings = RasterSettings(image_width=W, image_height=W,
-                              pairs_per_triangle=4)
     cam = make_camera(W, W)
     s = make_random_scene(P, seed=0, size_range=(0.01, 0.05))
     v = jnp.asarray(s["vertex"])
@@ -36,15 +34,33 @@ def run_workload(trace_dir: str, frames: int) -> float:
     c = jnp.asarray(s["rgb"])
     target = jnp.zeros((3, W, W))
 
-    @jax.jit
-    def fwd_bwd(vertex, opacity, rgb):
-        def loss_fn(vertex, opacity, rgb):
-            out = rasterize(vertex, opacity, None, cam, settings, gamma=1.0,
-                            background=jnp.ones(3), bg_depth=10.0, colors=rgb)
-            return jnp.abs(out["render"] - target).mean(), out["overflow"]
-        (_, ov), g = jax.value_and_grad(loss_fn, argnums=(0, 1, 2),
-                                        has_aux=True)(vertex, opacity, rgb)
-        return g, ov
+    # Mirror bench.py exactly: non-rich photo kernels, stats stream off,
+    # pair budget auto-sized from a probe frame.
+    def make_step(settings):
+        @jax.jit
+        def fwd_bwd(vertex, opacity, rgb):
+            def loss_fn(vertex, opacity, rgb):
+                out = rasterize(vertex, opacity, None, cam, settings,
+                                gamma=1.0, background=jnp.ones(3),
+                                bg_depth=10.0, colors=rgb, need_stats=False)
+                return jnp.abs(out["render"] - target).mean(), \
+                    (out["overflow"], out["num_pairs"])
+            (_, aux), g = jax.value_and_grad(loss_fn, argnums=(0, 1, 2),
+                                             has_aux=True)(vertex, opacity,
+                                                           rgb)
+            return g, aux
+        return fwd_bwd
+
+    from triangle_splatting_tpu.trainers.adc_utils import adapt_pair_budget
+    probe = make_step(RasterSettings(image_width=W, image_height=W,
+                                     rich_info=False, pairs_per_triangle=6))
+    _, (overflow, num_pairs) = jax.block_until_ready(probe(v, o, c))
+    assert not bool(overflow)
+    ppt = adapt_pair_budget(6.0, int(num_pairs), P, False,
+                            shrink_if_below=1.0)
+    fwd_bwd = make_step(RasterSettings(image_width=W, image_height=W,
+                                       rich_info=False,
+                                       pairs_per_triangle=ppt))
 
     compiled = fwd_bwd.lower(v, o, c).compile()
     with open(os.path.join("/tmp", "profile_hlo.txt"), "w") as f:
@@ -94,9 +110,21 @@ def parse_trace(trace_dir: str):
     return op_ns, path
 
 
+def is_bwd_kernel(n):
+    # The blend kernels' custom-calls carry the surrounding jvp scope name
+    # in traces ("jvp__*" forward, "transpose_jvp__*" backward) on some jax
+    # versions, the kernel function name on others.
+    return "_bwd_kernel" in n or n.startswith("transpose_jvp")
+
+
+def is_fwd_kernel(n):
+    return "_fwd_kernel" in n or (n.startswith("jvp") and
+                                  "transpose" not in n)
+
+
 BUCKETS = [
-    ("bwd_kernel", lambda n: "_bwd_kernel" in n),
-    ("fwd_kernel", lambda n: "_fwd_kernel" in n),
+    ("bwd_kernel", is_bwd_kernel),
+    ("fwd_kernel", is_fwd_kernel),
     ("scatter", lambda n: "scatter" in n),
     ("gather", lambda n: "gather" in n),
     ("sort", lambda n: "sort" in n),
