@@ -48,6 +48,9 @@ _LAZY = {
     "run_exp_with_args": ("utils.pipeline_utils", "run_exp_with_args"),
     "stdout_logger": ("utils.logger", "stdout_logger"),
     "OSSHandler": ("utils.file_handler", "OSSHandler"),
+    # evaluation extras beyond the reference surface
+    "mesh_geometry_scores": ("models.mesh_metrics", "mesh_geometry_scores"),
+    "raytrace_soup": ("ops.raytrace", "raytrace_soup"),
 }
 
 
