@@ -1,0 +1,54 @@
+"""Ground-truth integrity of the synthetic dataset builder.
+
+The r5 oracle-GT de-circularization exposed that the builder's fixed
+default pair budget silently overflowed at full-run scale, so every GT
+frame dropped a suffix of the pair stream (~1/3 of the scene content at
+800²/100k). The builder now grows its budget until the frame fits; these
+tests pin that and the pallas-vs-oracle GT agreement.
+"""
+
+import json
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from triangle_splatting_tpu.utils.testing import build_synthetic_nerf_dataset
+
+
+def _load(root, split, i):
+    return np.asarray(Image.open(root / split / f"r_{i}.png"),
+                      np.float32)[..., :3] / 255.0
+
+
+@pytest.mark.slow
+def test_builder_grows_budget_and_matches_oracle(tmp_path):
+    """A scene dense enough to overflow the default 6-pairs/triangle budget
+    must still render COMPLETE pallas GT — and agree with the oracle-built
+    GT per pixel (boundary flips only)."""
+    kw = dict(res=128, n_tri=60, n_train=1, n_test=1, seed=11,
+              size_range=(0.5, 0.8))
+    rp = build_synthetic_nerf_dataset(tmp_path / "pallas", impl="pallas",
+                                      **kw)
+    ro = build_synthetic_nerf_dataset(tmp_path / "oracle", impl="oracle",
+                                      **kw)
+    for split in ("train", "test"):
+        a = _load(rp, split, 0)
+        b = _load(ro, split, 0)
+        d = np.abs(a - b)
+        # uint8 quantization + contributor boundary flips only
+        assert d.mean() < 2e-3, (split, d.mean())
+        assert (d.max(-1) > 0.05).mean() < 0.01, split
+    # gt_scene.npz ships the exact soup for geometry metrics
+    gt = np.load(rp / "gt_scene.npz")
+    assert gt["vertex"].shape == (60, 3, 3)
+
+
+def test_builder_writes_gt_scene(tmp_path):
+    root = build_synthetic_nerf_dataset(tmp_path / "d", res=48, n_tri=40,
+                                        n_train=2, n_test=1, impl="oracle")
+    gt = np.load(root / "gt_scene.npz")
+    assert gt["vertex"].shape == (40, 3, 3)
+    assert gt["rgb"].shape == (40, 3)
+    with open(root / "transforms_train.json") as f:
+        assert len(json.load(f)["frames"]) == 2

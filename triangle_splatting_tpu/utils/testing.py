@@ -112,20 +112,42 @@ def build_synthetic_nerf_dataset(root, *, res: int = 48, n_tri: int = 120,
 
     # Jitted per-camera render: eager op dispatch is pathologically slow on
     # remote-compile TPU backends. Cameras share one trace (strip_static).
-    @jax.jit
-    def _render_jit(cam):
-        out = rasterize(vertex, opacity, None, cam, settings, gamma=1.0,
-                        background=jnp.ones(3), bg_depth=20.0, colors=rgb,
-                        impl=impl)
-        return jnp.clip(out["render"], 0, 1)
+    def _make_render(settings):
+        @jax.jit
+        def _render_jit(cam):
+            out = rasterize(vertex, opacity, None, cam, settings, gamma=1.0,
+                            background=jnp.ones(3), bg_depth=20.0,
+                            colors=rgb, impl=impl)
+            return jnp.clip(out["render"], 0, 1), out["overflow"], \
+                out["num_pairs"]
+        return _render_jit
+
+    _render_jit = _make_render(settings)
 
     def render(c2w_gl):
+        nonlocal _render_jit, settings
         c2w = c2w_gl.copy()
         c2w[:3, 1:3] *= -1
         w2c = np.linalg.inv(c2w)
         cam = Camera.create(R=w2c[:3, :3].T, T=w2c[:3, 3], fovx=fovx,
                             fovy=fovx, image_width=res, image_height=res)
-        return np.asarray(_render_jit(cam.strip_static()))
+        img, overflow, num_pairs = _render_jit(cam.strip_static())
+        # GROUND-TRUTH frames must never silently drop pairs: a truncated
+        # pair list renders a visibly incomplete scene that every
+        # subsequent score inherits (this exact bug shipped truncated GT
+        # for four rounds of full runs — caught by the r5 oracle-GT
+        # de-circularization, PERF.md). Grow the budget and re-render
+        # until the frame fits (the oracle path never overflows).
+        while bool(overflow):
+            from dataclasses import replace
+            from ..trainers.adc_utils import adapt_pair_budget
+            settings = replace(
+                settings,
+                pairs_per_triangle=adapt_pair_budget(
+                    settings.pairs_per_triangle, None, n_tri, True))
+            _render_jit = _make_render(settings)
+            img, overflow, num_pairs = _render_jit(cam.strip_static())
+        return np.asarray(img)
 
     for split, count in [("train", n_train), ("test", n_test)]:
         frames = []
