@@ -44,6 +44,26 @@ def test_builder_grows_budget_and_matches_oracle(tmp_path):
     assert gt["vertex"].shape == (60, 3, 3)
 
 
+def test_surface_scene_is_closed_and_opaque(tmp_path):
+    """The 'surface' scene kind: a watertight-ish UV-sphere triangulation
+    with uniform high opacity — the realistic mesh/solidify target."""
+    from triangle_splatting_tpu.utils.testing import make_surface_scene
+    s = make_surface_scene(5000, seed=1)
+    v = s["vertex"]
+    assert 4000 <= v.shape[0] <= 5000
+    r = np.linalg.norm(v.reshape(-1, 3), axis=1)
+    assert 0.5 < r.min() and r.max() < 1.2       # bumpy unit-ish sphere
+    assert (s["opacity"] == 0.95).all()
+    # builder integration: dataset renders + gt_scene.npz round-trips
+    root = build_synthetic_nerf_dataset(tmp_path / "s", res=48, n_tri=500,
+                                        n_train=1, n_test=1, impl="oracle",
+                                        scene_kind="surface")
+    img = _load(root, "train", 0)
+    assert img.std() > 0.05                      # something rendered
+    gt = np.load(root / "gt_scene.npz")
+    assert gt["vertex"].shape[0] == np.asarray(gt["rgb"]).shape[0]
+
+
 def test_builder_writes_gt_scene(tmp_path):
     root = build_synthetic_nerf_dataset(tmp_path / "d", res=48, n_tri=40,
                                         n_train=2, n_test=1, impl="oracle")

@@ -60,6 +60,13 @@ def main():
     ap.add_argument("--geo_samples", type=int, default=100_000,
                     help="--mesh: surface samples per side for the "
                     "chamfer/F-score geometry metrics")
+    ap.add_argument("--scene", default="soup", choices=["soup", "surface"],
+                    help="GT scene: 'soup' = floating semi-transparent "
+                    "random triangles (photo stress test), 'surface' = "
+                    "bumpy opaque closed surface — the realistic "
+                    "mesh/solidify target (an opaque mesh CAN represent "
+                    "it, so solidify scores measure the pipeline instead "
+                    "of the scene's transparency)")
     ap.add_argument("--ckpt_every", type=int, default=5000,
                     help="checkpoint cadence (0 disables)")
     ap.add_argument("--resume", action="store_true",
@@ -74,16 +81,18 @@ def main():
     from triangle_splatting_tpu.utils.testing import (
         build_synthetic_nerf_dataset)
 
-    data_dir = os.path.join(
-        args.root, "data" if args.gt == "pallas" else f"data_{args.gt}")
+    suffix = "" if args.gt == "pallas" else f"_{args.gt}"
+    if args.scene != "soup":
+        suffix += f"_{args.scene}"
+    data_dir = os.path.join(args.root, "data" + suffix)
     if not os.path.exists(os.path.join(data_dir, "transforms_train.json")):
         print(f"[full_run] building synthetic dataset ({args.views} views @ "
-              f"{args.res}^2, {args.n_tri} GT triangles, gt={args.gt}) in "
-              f"{data_dir}", flush=True)
+              f"{args.res}^2, {args.n_tri} GT triangles, gt={args.gt}, "
+              f"scene={args.scene}) in {data_dir}", flush=True)
         t0 = time.time()
         build_synthetic_nerf_dataset(
             data_dir, res=args.res, n_tri=args.n_tri, n_train=args.views,
-            n_test=8, impl=args.gt,
+            n_test=8, impl=args.gt, scene_kind=args.scene,
             pcd_points=(20_000 if args.adc else args.init_points),
             pcd_noise=0.05)
         print(f"[full_run] dataset built in {time.time() - t0:.0f}s",

@@ -57,6 +57,55 @@ def make_random_scene(n: int, seed: int = 0, z_range=(3.0, 6.0),
                 sh_dc=((rgb - 0.5) / 0.28209479177387814)[:, None, :].astype(np.float32))
 
 
+def make_surface_scene(n_tri: int, seed: int = 0, opacity: float = 0.95):
+    """A closed SURFACE as ground truth: a bumpy UV-sphere triangulation.
+
+    The random-soup scene (make_random_scene) is adversarial for the mesh
+    endpoint — semi-transparent floating triangles have no opaque-surface
+    representation, so solidify scores bottom out regardless of pipeline
+    quality. Real mesh-training targets are opaque surfaces
+    (reference README.md:29-35: rooms, objects, city blocks); this scene
+    provides one with a known triangle-soup GT for chamfer/F-score.
+
+    Returns the same dict layout as make_random_scene; the actual face
+    count is the closest UV grid <= n_tri (2 * nu * nv faces).
+    """
+    rng = np.random.default_rng(seed)
+    nv = max(3, int(np.sqrt(n_tri / 4)))
+    nu = max(4, n_tri // (2 * nv))
+    th = np.linspace(0.0, np.pi, nv + 1)
+    ph = np.linspace(0.0, 2 * np.pi, nu + 1)
+    T, P = np.meshgrid(th, ph, indexing="ij")           # (nv+1, nu+1)
+    # low-frequency radial bumps -> non-trivial geometry for chamfer
+    r = (0.85 + 0.12 * np.sin(3 * T) * np.cos(2 * P)
+         + 0.08 * np.cos(5 * P + 1.0) * np.sin(2 * T))
+    x = r * np.sin(T) * np.cos(P)
+    y = r * np.cos(T)
+    z = r * np.sin(T) * np.sin(P)
+    V = np.stack([x, y, z], axis=-1)                    # (nv+1, nu+1, 3)
+
+    quads = []
+    for i in range(nv):
+        for j in range(nu):
+            a, b = V[i, j], V[i, j + 1]
+            c, d = V[i + 1, j + 1], V[i + 1, j]
+            quads.append((a, b, c))
+            quads.append((a, c, d))
+    vertex = np.asarray(quads, np.float32)              # (F, 3, 3)
+    n = vertex.shape[0]
+
+    # smooth per-face color from the face centroid direction
+    cen = vertex.mean(1)
+    cn = cen / np.maximum(np.linalg.norm(cen, axis=1, keepdims=True), 1e-6)
+    rgb = np.clip(0.5 + 0.45 * np.stack(
+        [cn[:, 0], np.sin(2.0 * cn[:, 1]), cn[:, 2] * cn[:, 0]], axis=1),
+        0.05, 0.95).astype(np.float32)
+    opac = np.full((n,), opacity, np.float32)
+    return dict(vertex=vertex, opacity=opac, rgb=rgb,
+                sh_dc=((rgb - 0.5) / 0.28209479177387814)[:, None, :]
+                .astype(np.float32))
+
+
 def pose_on_circle(theta: float, radius: float = 4.5, height: float = 0.0):
     """Camera on a circle looking at the origin, as a Blender/OpenGL c2w
     matrix (NerfSynthetic_dataset.py:20-25 converts to COLMAP)."""
@@ -79,12 +128,16 @@ def build_synthetic_nerf_dataset(root, *, res: int = 48, n_tri: int = 120,
                                  impl: str = "oracle", seed: int = 7,
                                  size_range=(0.15, 0.3),
                                  pcd_noise: float = 0.05,
-                                 pcd_points: int | None = None):
+                                 pcd_points: int | None = None,
+                                 scene_kind: str = "soup"):
     """Write a Blender/NeRF-Synthetic-format dataset of a known random
     triangle scene to ``root`` (transforms_{train,test}.json + PNGs +
     point_cloud.ply). GT images are rendered with this framework's own
     rasterizer (``impl``: oracle on CPU for tests, pallas on a chip for
-    large resolutions). Returns ``root``."""
+    large resolutions). ``scene_kind``: "soup" = floating random
+    semi-transparent triangles (photo stress test), "surface" = a bumpy
+    opaque closed surface (the mesh/solidify endpoint's realistic target —
+    see make_surface_scene). Returns ``root``."""
     import json
     import math
     from pathlib import Path
@@ -99,9 +152,13 @@ def build_synthetic_nerf_dataset(root, *, res: int = 48, n_tri: int = 120,
     root = Path(root)
     root.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(0)
-    scene = make_random_scene(n_tri, seed=seed, z_range=(-0.8, 0.8),
-                              xy_extent=0.8, size_range=size_range,
-                              opacity_range=(0.7, 0.95))
+    if scene_kind == "surface":
+        scene = make_surface_scene(n_tri, seed=seed)
+    else:
+        scene = make_random_scene(n_tri, seed=seed, z_range=(-0.8, 0.8),
+                                  xy_extent=0.8, size_range=size_range,
+                                  opacity_range=(0.7, 0.95))
+    n_tri = scene["vertex"].shape[0]          # surface rounds to its grid
     vertex = jnp.asarray(scene["vertex"])
     opacity = jnp.asarray(scene["opacity"])
     rgb = jnp.asarray(scene["rgb"])
