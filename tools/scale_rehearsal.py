@@ -44,6 +44,9 @@ def main():
     ap.add_argument("--res", type=int, default=800)
     ap.add_argument("--views", type=int, default=8)
     ap.add_argument("--sh", type=int, default=3)
+    ap.add_argument("--ppt", type=float, default=2.0,
+                    help="initial pairs-per-triangle budget (see the "
+                    "compile-time note in main)")
     ap.add_argument("--cpu", action="store_true",
                     help="scaled-down CPU rehearsal of the harness itself")
     args = ap.parse_args()
@@ -72,6 +75,12 @@ def main():
     cfg = make_smoke_config(data, os.path.join(root, "out"), args.steps,
                             densify=False)
     cfg.model.max_sh_degree = args.sh
+    # Right-size the pair budget for the dense random init (tiny triangles,
+    # ~1-2 pairs each): XLA compile time grows SUPERLINEARLY with the pair
+    # buffer length (measured: 1.5M pairs -> 126 s, 2M -> 217 s, 3M ->
+    # >6 min, 16M effectively hangs), so the smoke default of 16/triangle
+    # at 1M capacity never finishes compiling. PERF.md r5 scale section.
+    cfg.model.pairs_per_triangle = args.ppt
     cfg.trainer.eval_interval_iter = 10 ** 9      # pure step timing
     cfg.trainer.log_interval_iter = 20
     trainer = VanillaTSTrainer(cfg, log_file=False)
