@@ -193,7 +193,15 @@ class Logger_MP:
     def close(self) -> None:
         if self._listener.is_alive():
             self._queue.put(None)
-            self._listener.join(timeout=10)
+            # Generous: the spawn-context listener may still be STARTING
+            # (fresh interpreter importing numpy) on a loaded host — a
+            # 10 s join raced that and returned before the log file was
+            # flushed (flaked once under a full parallel test+train load).
+            self._listener.join(timeout=120)
+            if self._listener.is_alive():
+                import sys
+                print("Logger_MP: listener did not drain within 120 s; "
+                      "log records may be lost", file=sys.stderr)
 
     def __del__(self):
         try:
