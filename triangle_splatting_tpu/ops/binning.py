@@ -83,7 +83,14 @@ class Binning:
 
 
 def cummax(x: jnp.ndarray) -> jnp.ndarray:
-    return jax.lax.associative_scan(jnp.maximum, x)
+    # lax.cummax (the primitive), NOT lax.associative_scan(jnp.maximum):
+    # the generic associative_scan unrolls log(n) concat/slice layers whose
+    # XLA compile time grows superlinearly in n — measured compile-ONLY at
+    # the r5 scale rehearsal: 234 s at 2M elements (and effectively hung at
+    # 16M), vs seconds for the primitive at any size. This was the entire
+    # "pair-buffer compile cliff" (PERF.md r5 scale section); runtime is
+    # equivalent at bench scale.
+    return jax.lax.cummax(x, axis=0)
 
 
 def aligned_capacity(max_pairs: int, num_tiles: int, align: int) -> int:

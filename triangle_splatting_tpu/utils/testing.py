@@ -167,6 +167,37 @@ def build_synthetic_nerf_dataset(root, *, res: int = 48, n_tri: int = 120,
 
     import jax
 
+    # Pre-size the pair budget from the DEMANDED pair count (preprocess
+    # only — a cheap compile) instead of discovering overflow with full
+    # renders: each overflow-grow recompile of the whole rasterizer costs
+    # minutes through a remote-compile tunnel, and GT scenes at full-run
+    # scale need 2-3 growths from the default budget.
+    if impl == "pallas":
+        from dataclasses import replace as _dc_replace
+        from ..ops.projection import preprocess_2d
+        from ..trainers.adc_utils import adapt_pair_budget
+
+        def _demand(cam):
+            prep = preprocess_2d(vertex, jnp.zeros((n_tri, 2)), rgb,
+                                 cam.world_view, cam.full_proj,
+                                 cam.tan_fovx, cam.tan_fovy, settings,
+                                 opacity=opacity,
+                                 gamma=jnp.float32(1.0))
+            return prep.tiles_touched.astype(jnp.int32).sum()
+
+        c2w0 = pose_on_circle(0.0).copy()
+        c2w0[:3, 1:3] *= -1
+        w2c0 = np.linalg.inv(c2w0)
+        probe_cam = Camera.create(R=w2c0[:3, :3].T, T=w2c0[:3, 3],
+                                  fovx=fovx, fovy=fovx,
+                                  image_width=res, image_height=res)
+        demanded = int(jax.jit(_demand)(probe_cam.strip_static()))
+        ppt = adapt_pair_budget(settings.pairs_per_triangle,
+                                int(demanded * 1.2), n_tri, False,
+                                shrink_if_below=1.0)
+        if ppt > settings.pairs_per_triangle:
+            settings = _dc_replace(settings, pairs_per_triangle=ppt)
+
     # Jitted per-camera render: eager op dispatch is pathologically slow on
     # remote-compile TPU backends. Cameras share one trace (strip_static).
     def _make_render(settings):
