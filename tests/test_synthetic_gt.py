@@ -64,6 +64,42 @@ def test_surface_scene_is_closed_and_opaque(tmp_path):
     assert gt["vertex"].shape[0] == np.asarray(gt["rgb"]).shape[0]
 
 
+@pytest.mark.slow
+def test_surface_solidify_end_to_end(tmp_path):
+    """The opaque-surface mesh benchmark end to end at smoke scale: train
+    the solidify pipeline on a surface dataset, export the GLB, and score
+    it geometrically against the exact GT soup — the full_run --mesh
+    --scene surface path, in-suite."""
+    from triangle_splatting_tpu.models.mesh_metrics import mesh_geometry_scores
+    from triangle_splatting_tpu.models.raw_triangle import RawTriangle
+    from triangle_splatting_tpu.trainers.smoke import make_smoke_config
+    from triangle_splatting_tpu.trainers.vanilla_ts import VanillaTSTrainer
+
+    root = build_synthetic_nerf_dataset(
+        tmp_path / "data", res=48, n_tri=400, n_train=6, n_test=2,
+        impl="oracle", scene_kind="surface", pcd_points=300, pcd_noise=0.05)
+    cfg = make_smoke_config(root, tmp_path / "out", 60, densify=False,
+                            mesh=True)
+    cfg.trainer.save_glb_iterations = [60]
+    trainer = VanillaTSTrainer(cfg, impl="oracle", log_file=False)
+    trainer._init_model()
+    p0 = float(trainer._evaluate(0))
+    trainer.train()
+    p1 = float(trainer._evaluate(60))
+    assert p1 > p0 + 1.0, (p0, p1)          # solidify training improves
+    glb = tmp_path / "out" / "glb" / "60.glb"
+    assert glb.exists()
+    raw = RawTriangle(glb_path=str(glb))
+    assert len(raw) > 0
+    gt = np.load(root / "gt_scene.npz")
+    geo = mesh_geometry_scores(raw.vertex, gt["vertex"], n_samples=2000,
+                               tau=0.2)
+    # 60 iters from a noisy point init: only sanity bounds — finite
+    # chamfer on the right scale and some GT coverage
+    assert np.isfinite(geo["chamfer"]) and geo["chamfer"] < 1.5, geo
+    assert geo["recall"] > 0.3, geo
+
+
 def test_builder_writes_gt_scene(tmp_path):
     root = build_synthetic_nerf_dataset(tmp_path / "d", res=48, n_tri=40,
                                         n_train=2, n_test=1, impl="oracle")
